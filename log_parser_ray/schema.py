@@ -1,0 +1,102 @@
+"""Schemas and default lookup/config tables.
+
+The transcript table is the engine's primary input (BASELINE.json input_hint)::
+
+    conv_id: string        conversation id; partition/group key
+    turn_idx: int32        stable-sort tiebreak within a conversation
+    role: string           user / assistant / system / tool
+    text: string           raw turn text (the parse target)
+    tool: string?          tool invoked this turn, nullable
+    ts: timestamp[us]      event time
+
+Reference analogues (SURVEY.md §1.3): conv_id ≈ server name from dir path
+(websphereLogParser.sh:120-121), turn_idx ≈ file line order, text ≈ raw log line.
+
+Lookup tables mirror the reference's four config CSVs (README.md:20-24):
+``tool_categories`` ≈ WAS_CloneIDs.csv (cloneID→WAS broadcast lookup,
+webAccessLogParser.sh:196-201); ``role_severities`` ≈ WAS eventType classes
+(websphereLogParser.sh:132); ``thresholds`` ≈ thresholdValues.csv;
+``filter_patterns`` ≈ WASCustomFilter.txt (websphereLogParser.sh:99-101).
+They are small broadcast state — never shuffled.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Columns the parse stage appends to a transcript batch.
+PARSED_COLUMNS = [
+    ("error_code", pa.string()),
+    ("duration_ms", pa.int64()),
+    ("tool_name", pa.string()),
+    ("tool_status", pa.string()),
+    ("rt_us", pa.int64()),
+    ("http_code", pa.int32()),
+    ("login_uid", pa.string()),
+    ("is_logout", pa.bool_()),
+    ("filtered", pa.bool_()),
+    ("severity", pa.string()),
+    ("hour", pa.int32()),
+    ("rt_bucket", pa.string()),
+    ("sink", pa.string()),
+]
+
+# --- default lookup/config data (user-editable "config files" of the engine) ---
+
+# tool → category ("auth" is intentionally absent: unmatched tools map to
+# "uncat", mirroring the '-'-session null triple at webAccessLogParser.sh:441-445).
+TOOL_CATEGORIES: dict[str, str] = {
+    "search": "retrieval",
+    "checkout": "commerce",
+    "browse": "web",
+}
+CATEGORY_UNMATCHED = "uncat"  # tool present but not in the lookup
+CATEGORY_NONE = "none"  # no tool on the turn
+
+# role → severity class (analogue of WAS eventType W/E/F/I/A classes).
+ROLE_SEVERITIES: dict[str, str] = {
+    "system": "high",
+    "assistant": "medium",
+    "tool": "medium",
+    "user": "low",
+}
+ROLE_SEVERITY_DEFAULT = "low"
+
+# property|value|target thresholds (thresholdValues.csv:1 shape). Keyed by
+# (target-prefix, property) like the reference's `was.App.wasFCntTh`.
+THRESHOLDS: dict[str, float] = {
+    "conv.errCntTh": 8.0,  # per-conversation error-sink count alert
+    "conv.filteredCntTh": 3.0,  # per-conversation keyword-filter hits
+    "global.http5xxPctTh": 5.0,  # % of http rows that are 5xx
+}
+
+# WASCustomFilter.txt analogue: user-pluggable critical-error regexes, applied
+# to EVERY turn's text (websphereLogParser.sh:99-101,123,136).
+FILTER_PATTERNS: list[str] = [
+    r"CORBA.*NO_RESPONSE",
+    r"OutOfMemory",
+]
+
+# Response-time buckets (webAccessLogParser.sh:465-481 uses `<=` boundaries
+# 1/5/10/20 s). Labels are lexically ordered for stable sorts. Compared on
+# integer rt_us so the bucketing is exact under parallelism.
+RT_BUCKETS: list[tuple[str, int]] = [
+    ("01_le1", 1_000_000),
+    ("02_le5", 5_000_000),
+    ("03_le10", 10_000_000),
+    ("04_le20", 20_000_000),
+]
+RT_BUCKET_OVER = "05_gt20"
+
+SINKS = ["filtered", "errors", "tools", "http_errors", "http_ok", "sessions", "unparsed"]

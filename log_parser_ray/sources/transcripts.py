@@ -1,0 +1,145 @@
+"""Transcript sources.
+
+The engine's real input is a Parquet transcript table (schema.TRANSCRIPT_SCHEMA).
+``read_transcripts`` reads one. Because the sandbox's shared test tables
+(/root/testdata/sf*) do not ship a transcript table, ``transcripts_from_events``
+derives one *deterministically* from the ``events`` table — and
+``TRANSCRIPTS_CTE`` is the exact same derivation in ANSI SQL, so every pipeline
+over the shim is checkable against a DuckDB oracle.  The two MUST stay in
+lockstep; tests/test_transcripts.py pins their equality row-by-row.
+
+Derivation (row-local, no shuffle):
+  conv_id  = 'c' || user_id
+  turn_idx = event_id (events are written in ts order, so event_id is a stable
+             within-conversation ordering key; int32-safe at every sf)
+  role     = event_type → {error: system, signup: assistant, purchase: tool, *: user}
+  tool     = event_type → {click: search, purchase: checkout, signup: auth, *: null}
+  ts       = ts
+  text     = reference-style payload embedding the parse targets (FIXTURES.md F1):
+    error    → 'ERROR [WSVR0###L] thread hung for <ms> ms'  (L = E when
+               event_id%3==0 else W; '+ CORBA.NO_RESPONSE' when event_id%7==0
+               — a WASCustomFilter.txt:2-6 style keyword hit)
+    click    → '<tool_call name="search" status="ok" rt_us=<us>>'
+    purchase → '<tool_call name="checkout" status="ok|err" rt_us=<us>> logout'
+    signup   → 'login uid=u<user_id>'
+    view     → 'GET /app/page## status=<code>'   (code: 503 if value>=100,
+               404 if value>=50 else 200); every 13th event_id is an
+               unparseable 'note <id>' (unknown-UA analogue,
+               webAccessLogParser.sh:646-653)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _compose(batch: pd.DataFrame) -> pd.DataFrame:
+    eid = batch["event_id"].to_numpy()
+    etype = batch["event_type"].to_numpy()
+    value = batch["value"].to_numpy()
+    uid = batch["user_id"].to_numpy()
+
+    def s(a):  # object dtype so elementwise `+` concatenation works
+        return a.astype(object)
+
+    ms = s(np.round(value * 1000.0).astype(np.int64).astype(str))
+    us = s(np.round(value * 1_000_000.0).astype(np.int64).astype(str))
+    code3 = s(np.char.zfill((eid % 1000).astype(str), 3))
+    sev_letter = s(np.where(eid % 3 == 0, "E", "W"))
+    corba = s(np.where(eid % 7 == 0, " CORBA.NO_RESPONSE", ""))
+    http = s(np.where(value >= 100.0, "503", np.where(value >= 50.0, "404", "200")))
+    status = s(np.where((etype == "purchase") & (eid % 11 == 0), "err", "ok"))
+    tool_nm = s(np.where(etype == "click", "search", "checkout"))
+    logout = s(np.where(etype == "purchase", " logout", ""))
+
+    err_txt = (
+        "ERROR [WSVR0" + code3 + sev_letter + "] thread hung for " + ms + " ms" + corba
+    )
+    tool_txt = (
+        '<tool_call name="' + tool_nm + '" status="' + status + '" rt_us=' + us + ">"
+        + logout
+    )
+    login_txt = "login uid=u" + s(uid.astype(str))
+    view_txt = np.where(
+        eid % 13 == 0,
+        "note " + s(eid.astype(str)),
+        "GET /app/page" + s((eid % 20).astype(str)) + " status=" + http,
+    )
+
+    text = np.select(
+        [etype == "error", np.isin(etype, ("click", "purchase")), etype == "signup"],
+        [err_txt, tool_txt, login_txt],
+        default=view_txt,
+    )
+    role = np.select(
+        [etype == "error", etype == "signup", etype == "purchase"],
+        ["system", "assistant", "tool"],
+        default="user",
+    )
+    tool = np.full(len(eid), None, dtype=object)
+    tool[etype == "click"] = "search"
+    tool[etype == "purchase"] = "checkout"
+    tool[etype == "signup"] = "auth"
+
+    out = pd.DataFrame(
+        {
+            "conv_id": "c" + s(uid.astype(str)),
+            "turn_idx": eid.astype(np.int32),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": batch["ts"].to_numpy(),
+        }
+    )
+    return out
+
+
+def transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
+    """events.parquet → transcript Dataset (row-local map, streams, no shuffle)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return ds.map_batches(_compose, batch_format="pandas")
+
+
+def read_transcripts(path: str, **kwargs) -> "ray.data.Dataset":
+    """Read a real transcript Parquet table (file, dir, or partitioned dir)."""
+    return ray.data.read_parquet(path, **kwargs)
+
+
+# The same derivation in SQL, for the DuckDB oracle. `events` is a
+# pre-registered view over the same parquet file.
+TRANSCRIPTS_CTE = """
+transcripts AS (
+  SELECT
+    'c' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id AS INTEGER) AS turn_idx,
+    CASE event_type WHEN 'error' THEN 'system' WHEN 'signup' THEN 'assistant'
+         WHEN 'purchase' THEN 'tool' ELSE 'user' END AS role,
+    CASE
+      WHEN event_type = 'error' THEN
+        'ERROR [WSVR0' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+        || CASE WHEN event_id % 3 = 0 THEN 'E' ELSE 'W' END
+        || '] thread hung for ' || CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR)
+        || ' ms' || CASE WHEN event_id % 7 = 0 THEN ' CORBA.NO_RESPONSE' ELSE '' END
+      WHEN event_type IN ('click', 'purchase') THEN
+        '<tool_call name="' || CASE event_type WHEN 'click' THEN 'search' ELSE 'checkout' END
+        || '" status="'
+        || CASE WHEN event_type = 'purchase' AND event_id % 11 = 0 THEN 'err' ELSE 'ok' END
+        || '" rt_us=' || CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR) || '>'
+        || CASE WHEN event_type = 'purchase' THEN ' logout' ELSE '' END
+      WHEN event_type = 'signup' THEN 'login uid=u' || CAST(user_id AS VARCHAR)
+      WHEN event_id % 13 = 0 THEN 'note ' || CAST(event_id AS VARCHAR)
+      ELSE 'GET /app/page' || CAST(event_id % 20 AS VARCHAR) || ' status='
+           || CASE WHEN value >= 100 THEN '503' WHEN value >= 50 THEN '404' ELSE '200' END
+    END AS text,
+    CASE event_type WHEN 'click' THEN 'search' WHEN 'purchase' THEN 'checkout'
+         WHEN 'signup' THEN 'auth' ELSE NULL END AS tool,
+    ts
+  FROM events
+)
+""".strip()
