@@ -1,0 +1,120 @@
+"""Flagship pipeline — the reference's webAccessLogParser end-to-end shape
+(SURVEY.md §3.1/§3.4): read → parse → enrich → route → aggregate → alerts,
+with per-partition lineage metrics.
+
+    read_parquet(transcripts)                 # pruned scan
+      → parse_dataset (stateless tasks)      # grok/regex extract + sink column
+      → enrich_dataset (actor pool)          # broadcast lookups
+      → write_sinks (partitioned fan-out)    # routed rows, one dir per sink
+      → aggregate suite (two-phase shuffles) # per-sink counts, hourly, top-k
+      → threshold alerts (broadcast join)
+
+The input is parsed EXACTLY ONCE: the routed fan-out is written first, and all
+aggregates run over the written per-sink Parquet with column pruning — the
+same pattern the reference uses (one AWK pass emits the parsed table + side
+files; sort/top-k passes read the temp files, webAccessLogParser.sh:1300-1513)
+and the one that scales: at 100 TB you never re-run the regex pass per report.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pyarrow.compute as pc
+
+import ray.data
+
+from log_parser_ray.schema import THRESHOLDS
+from log_parser_ray.stages.aggregate import (
+    grouped_count,
+    threshold_alerts,
+    top_k,
+)
+from log_parser_ray.stages.enrich import enrich_dataset
+from log_parser_ray.stages.parse import parse_dataset
+from log_parser_ray.stages.route import write_sinks
+from log_parser_ray.state.manifest import PartitionRecord, RunManifest
+
+
+def build(transcripts: "ray.data.Dataset", *, enrich_concurrency=4) -> "ray.data.Dataset":
+    """transcripts → parsed+enriched routed Dataset (lazy, streams)."""
+    return enrich_dataset(parse_dataset(transcripts), concurrency=enrich_concurrency)
+
+
+def _not_null(col: str):
+    return lambda t: t.filter(pc.is_valid(t[col]))
+
+
+def run(
+    transcripts: "ray.data.Dataset",
+    out_dir: str | None = None,
+    *,
+    partition: str = "all",
+    manifest: RunManifest | None = None,
+    enrich_concurrency=4,
+) -> dict:
+    """Execute the full DAG; returns small pandas aggregate tables + row count."""
+    t0 = time.perf_counter()
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="logpipe_run_")
+    routed = build(transcripts, enrich_concurrency=enrich_concurrency)
+    write_sinks(routed, out_dir)
+
+    def scan(columns):
+        return ray.data.read_parquet(out_dir, columns=columns)
+
+    sink_counts = grouped_count(scan(["sink"]), ["sink"], alias="n").to_pandas()
+    conv_category = grouped_count(
+        scan(["conv_id", "category", "sink"]), ["conv_id", "category"], alias="n"
+    ).to_pandas()
+    hourly = grouped_count(scan(["hour", "sink"]), ["hour", "sink"], alias="n").to_pandas()
+    topk_slow = top_k(
+        scan(["conv_id", "turn_idx", "tool_name", "rt_us", "sink"])
+        .map_batches(_not_null("rt_us"), batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["conv_id", "turn_idx", "tool_name", "rt_us"]),
+        by=["rt_us", "conv_id", "turn_idx"],
+        descending=[True, False, False],
+        k=10,
+    ).to_pandas()
+
+    errors_per_conv = grouped_count(
+        scan(["conv_id", "sink"]).map_batches(
+            lambda t: t.filter(pc.equal(t["sink"], "errors")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["conv_id"],
+        alias="n",
+    ).to_pandas()
+    alerts = threshold_alerts(
+        errors_per_conv,
+        rule="conv.errCntTh",
+        key_col="conv_id",
+        value_col="n",
+        threshold=THRESHOLDS["conv.errCntTh"],
+    )
+
+    rows = int(sink_counts["n"].sum())
+    result = {
+        "out_dir": out_dir,
+        "sink_counts": sink_counts.sort_values("sink").reset_index(drop=True),
+        "conv_category": conv_category.sort_values(["conv_id", "category"]).reset_index(drop=True),
+        "hourly": hourly.sort_values(["hour", "sink"]).reset_index(drop=True),
+        "topk_slow": topk_slow,
+        "alerts": alerts.sort_values("key").reset_index(drop=True) if len(alerts) else alerts,
+        "rows": rows,
+    }
+
+    if manifest is not None:
+        manifest.append(
+            PartitionRecord(
+                partition=partition,
+                status="done",
+                rows_in=rows,
+                rows_routed=rows,
+                sink_counts={r["sink"]: int(r["n"]) for _, r in sink_counts.iterrows()},
+                wall_s=time.perf_counter() - t0,
+            )
+        )
+    return result

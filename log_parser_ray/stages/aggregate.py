@@ -92,7 +92,10 @@ def distinct_count(
     deduped = ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
     global_dedup = deduped.groupby(allk).aggregate(Count(alias_name="_dup"))
     if not keys:
-        return global_dedup.aggregate(Count(alias_name=alias))
+        import pandas as pd
+
+        # (global Dataset.aggregate(Count()) returns 0 in ray 2.49 — use count())
+        return pd.DataFrame({alias: [int(global_dedup.count())]})
     partial = global_dedup.map_batches(
         _partial(keys, [("", "count_all")]), batch_format="pyarrow", zero_copy_batch=True
     )
