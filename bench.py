@@ -1,0 +1,181 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": "...", "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the flagship parse→enrich→route→aggregate pipeline twice in
+FRESH processes (fresh ray.init sessions) at num_cpus=8 and num_cpus=32 on the
+same input and reports both throughputs plus scaling efficiency — the sandbox
+stand-in for the north rule's N vs 4N cluster-size criterion (BASELINE.md §scaling).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_flagship(sf_dir: str) -> dict:
+    """End-to-end parse→enrich→route(write)→aggregate; returns rows + wall_s."""
+    import tempfile
+
+    from log_parser_ray.pipelines import flagship
+    from log_parser_ray.sources.transcripts import transcripts_from_events
+
+    out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
+    t0 = time.perf_counter()
+    res = flagship.run(
+        transcripts_from_events(sf_dir), out_dir=out_dir, enrich_concurrency=4
+    )
+    wall = time.perf_counter() - t0
+    return {"rows": res["rows"], "wall_s": wall}
+
+
+BENCH_QUERIES = [
+    # name → queries() key; the representative per-family workloads
+    "conv_category_counts",
+    "hourly_distinct_convs",
+    "tool_rt_stats",
+    "topk_slowest_tools",
+    "session_durations",
+    "asof_error_tool",
+    "exact_dedup",
+    "minhash_near_dups",
+    "text_quality",
+    "knn_cosine",
+    "lineitem_pricing",
+]
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        # force execution of lazy Datasets
+        try:
+            import ray.data
+
+            if isinstance(out, ray.data.Dataset):
+                out = out.to_pandas()
+        except Exception:
+            pass
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def single_run(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
+    _init_ray(num_cpus)
+    sys.path.insert(0, REPO)
+    t0 = time.perf_counter()
+    fr = run_flagship(sf_dir)
+    queries = {"flagship": round(fr["wall_s"], 3)}
+    if not flagship_only:
+        queries.update(run_queries(sf_dir))
+    total = time.perf_counter() - t0
+    result = {
+        "metric": "end-to-end parsed+routed turns/sec (flagship) + per-query sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": fr["rows"],
+        "turns_per_sec": round(fr["rows"] / fr["wall_s"], 1),
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Fresh-process runs at two parallelism levels → scaling efficiency."""
+    runs = {}
+    for n in (lo, hi):
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--single-run", "--cpus", str(n), "--sf", sf_dir],
+            capture_output=True, text=True, env=env, cwd=REPO, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[n] = json.loads(line)
+    tp_lo = runs[lo]["turns_per_sec"]
+    tp_hi = runs[hi]["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "flagship scaling efficiency (fresh ray sessions, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "runs": {
+            str(n): {
+                "num_cpus": n,
+                "turns_per_sec": runs[n]["turns_per_sec"],
+                "flagship_s": runs[n]["queries"]["flagship"],
+                "rows": runs[n]["rows"],
+            }
+            for n in (lo, hi)
+        },
+        "speedup": round(tp_hi / tp_lo, 3),
+        "cpu_ratio": hi / lo,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=DEFAULT_SF)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-lo", type=int, default=8)
+    ap.add_argument("--scaling-hi", type=int, default=32)
+    ap.add_argument("--single-run", action="store_true",
+                    help="internal: flagship only, used by --scaling subprocesses")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(scaling(args.sf, args.scaling_lo, args.scaling_hi)))
+        return 0
+    result = single_run(args.sf, args.cpus, flagship_only=args.single_run)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
