@@ -280,6 +280,111 @@ def q_top_customers(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis / multimodal
+# (documents + embeddings tables; SURVEY.md §7 extension family)
+
+from log_parser_ray.stages import dedup as ddp
+from log_parser_ray.stages import similarity as sim
+from log_parser_ray.stages import textops
+
+
+def _documents(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def q_text_quality(sf_dir: str):
+    """Quality scoring: char/word/stopword counts + stopword ratio per doc."""
+    return textops.quality_stats(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_token_counts_by_source(sf_dir: str):
+    """BPE-ish token counting, aggregated per source (two-phase)."""
+    return textops.token_counts_by_source(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
+def q_lang_id_counts(sf_dir: str):
+    """Stopword-heuristic language ID vs the labeled lang column."""
+    ds = textops.lang_id(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    )
+    return grouped_count(ds, ["lang", "pred_lang"], alias="n")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: md5-fingerprint groupby, min-doc_id survivor."""
+    return ddp.exact_dedup(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram(unigram)-Jaccard near-dup pairs via inverted index."""
+    return ddp.jaccard_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.95,
+    )
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only:
+    banding is not SQL-expressible; tests/test_dedup.py pins recall vs exact)."""
+    return ddp.minhash_near_dups(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.9,
+    )
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    """64-bit SimHash per doc (rows-only; tests pin determinism + locality)."""
+    return textops.simhash64(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_cosine_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (blocked matmul vs broadcast side)."""
+    ids, m = sim.load_matrix(sf_dir)
+    return sim.cosine_near_dup_pairs(_embeddings(sf_dir), ids, m, threshold=0.4)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-5 per query (queries = vec_id < 5, broadcast)."""
+    qids, qm = sim.load_queries(sf_dir, n_queries=5)
+    return sim.knn_bruteforce(_embeddings(sf_dir), qids, qm, k=5)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN top-5 (rows-only; tests pin recall vs brute force)."""
+    qids, qm = sim.load_queries(sf_dir, n_queries=5)
+    _, m = sim.load_matrix(sf_dir)
+    cents = sim.kmeans_fit(m, n_clusters=10)
+    return sim.knn_ivf(_embeddings(sf_dir), qids, qm, cents, k=5, nprobe=3)
+
+
+def q_blob_features(sf_dir: str):
+    """Multimodal plumbing: binary blobs → actor-pool feature extraction
+    (decode stubbed deterministically; rows-only)."""
+    from log_parser_ray.stages.multimodal import blob_features
+
+    ds = blob_features(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    df = ds.to_pandas()
+    df["feature"] = df["feature"].apply(lambda v: np.round(np.asarray(v), 5).tolist())
+    return df.sort_values("blob_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -316,6 +421,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": q_events_value_stats,
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
+        "text_quality": q_text_quality,
+        "token_counts_by_source": q_token_counts_by_source,
+        "lang_id_counts": q_lang_id_counts,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "cosine_near_dups": q_cosine_near_dups,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "blob_features": q_blob_features,
     }
 
 
@@ -423,4 +539,63 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY o_custkey
             ORDER BY total_cents DESC, o_custkey LIMIT 10""",
+        # --- training-data ops: shared RE2 patterns with the Ray stages ---
+        "text_quality": f"""
+            SELECT doc_id, len_chars, n_words, n_stopwords,
+                   round(n_stopwords / greatest(n_words, 1.0), 6) AS stop_ratio
+            FROM (
+              SELECT doc_id, length(text) AS len_chars,
+                     CAST(len(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS BIGINT) AS n_words,
+                     CAST(len(regexp_extract_all(lower(text), '{textops.STOP_RE}')) AS BIGINT) AS n_stopwords
+              FROM documents)""",
+        "token_counts_by_source": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '{textops.BPE_RE}'))) AS BIGINT)
+                     AS sum_tokens
+            FROM documents GROUP BY source""",
+        "lang_id_counts": f"""
+            SELECT lang,
+                   CASE WHEN len(regexp_extract_all(lower(text), '{textops.STOP_RE}'))
+                             >= {textops.LANG_EN_MIN_HITS}
+                        THEN 'en' ELSE 'unk' END AS pred_lang,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2""",
+        "exact_dedup": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        "jaccard_pairs": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS w
+              FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+              FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT a_id, b_id, i, sa.n + sb.n - i AS u,
+                   round(i / (sa.n + sb.n - i * 1.0), 6) AS jac
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE round(i / (sa.n + sb.n - i * 1.0), 6) >= 0.95""",
+        "cosine_near_dups": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "knn_cosine": """
+            SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rn
+              FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])) AS sim
+                FROM embeddings q JOIN embeddings e
+                  ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
+            WHERE rn <= 5""",
     }

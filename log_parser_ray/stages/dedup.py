@@ -1,0 +1,327 @@
+"""Deduplication operators — exact and near-dup — over a document table.
+
+Scale design (100 TB corpus):
+
+* **exact**: md5 fingerprint per doc (map_batches) → groupby(fp) keeps the
+  min-doc_id survivor. The shuffle moves ONE short hash row per doc, never
+  the text. This is hash-partitioned dedup — the only all-to-all is on the
+  16-byte key.
+* **near-dup, the scale path = MinHash + LSH**: shingle → 64 minhash values
+  (vectorized numpy) → 16 bands × 4 rows; each band's hash is a bucket key.
+  The shuffle is groupby(bucket) over (bucket, doc_id) pairs — again no text
+  movement. Candidate pairs come out of buckets; an exact-Jaccard verify pass
+  keeps precision 1.0. Recall is governed by the banding S-curve
+  (P[candidate] = 1-(1-j^rows)^bands).
+* **near-dup, exact oracle-checkable variant**: inverted-index pairwise
+  Jaccard (groupby(token) emits co-occurrence pairs). Exact but O(pairs);
+  used for small/medium side paths and as the verification oracle for LSH.
+  At web scale you'd add prefix filtering; LSH above is the intended route.
+* **SimHash**: 64-bit fingerprint; candidates share one of 4 16-bit segments
+  (Hamming ≤ 3 ⇒ pigeonhole: some segment is identical), verified by exact
+  Hamming distance.
+
+Reference analogue: the reference only has exact set-dedup via AWK assoc
+arrays (SURVEY.md §2.7); the near-dup family is the training-data extension.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from log_parser_ray.stages.textops import WORD_RE, fingerprint
+
+MERSENNE_P = (1 << 61) - 1
+N_PERM = 64
+LSH_BANDS = 16
+LSH_ROWS = N_PERM // LSH_BANDS
+
+_word = re.compile(WORD_RE)
+
+
+def token_set(text: str) -> set[str]:
+    return set(_word.findall(text.lower()))
+
+
+def _token_hash64(tokens: Iterable[str]) -> np.ndarray:
+    """Stable 64-bit hashes of tokens (md5-derived, process-independent)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 42):
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, MERSENNE_P, size=n_perm, dtype=np.uint64)
+    b = rs.randint(0, MERSENNE_P, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct-content survivors: (fp, doc_id=min, n_copies) per unique text.
+
+    Shuffle key is the md5 fingerprint — identical texts land in one group
+    regardless of where they were read; survivor choice (min doc_id) is
+    deterministic under any parallelism."""
+    from ray.data.aggregate import Min, Sum
+
+    fps = fingerprint(docs).select_columns(["doc_id", "fp"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["fp"])
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+        )
+
+    part = fps.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("fp").aggregate(
+        Min("doc_id_min", alias_name="doc_id"),
+        Sum("count_all", alias_name="n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact pairwise Jaccard via inverted index
+
+
+def tokenize_distinct(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, w) — the distinct token set of each doc, exploded."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, words = [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in token_set(s):
+                ids.append(d)
+                words.append(w)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "w": words})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def jaccard_pairs(
+    docs: "ray.data.Dataset", threshold: float = 0.95
+) -> pd.DataFrame:
+    """All pairs (a_id < b_id) with token-set Jaccard ≥ threshold — exact.
+
+    groupby(token) → co-occurrence pairs → count = |A∩B|; per-doc set sizes
+    are a small side table broadcast into the final jaccard computation.
+    Returns a pandas DataFrame (pair results are small relative to input)."""
+    from log_parser_ray.stages.aggregate import grouped_count
+
+    tok = tokenize_distinct(docs)
+    sizes = grouped_count(tok, ["doc_id"], alias="n").to_pandas()
+    size_map = dict(zip(sizes["doc_id"], sizes["n"]))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    pairs = tok.groupby("w").map_groups(emit_pairs, batch_format="pandas")
+    inter = grouped_count(pairs, ["a_id", "b_id"], alias="i").to_pandas()
+    if len(inter) == 0:
+        return pd.DataFrame(columns=["a_id", "b_id", "i", "u", "jac"])
+    na = inter["a_id"].map(size_map).to_numpy()
+    nb = inter["b_id"].map(size_map).to_numpy()
+    inter["u"] = na + nb - inter["i"]
+    inter["jac"] = (inter["i"] / inter["u"]).round(6)
+    out = inter[inter["jac"] >= threshold].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True)
+
+
+def exact_jaccard_of_pairs(
+    pairs: pd.DataFrame, token_sets: dict[int, set[str]]
+) -> pd.DataFrame:
+    """Exact Jaccard for given candidate pairs (the LSH verify step)."""
+    rows = []
+    for a, b in zip(pairs["a_id"], pairs["b_id"]):
+        sa, sb = token_sets[a], token_sets[b]
+        i = len(sa & sb)
+        u = len(sa) + len(sb) - i
+        rows.append((a, b, i, u, round(i / u, 6) if u else 0.0))
+    return pd.DataFrame(rows, columns=["a_id", "b_id", "i", "u", "jac"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(docs: "ray.data.Dataset", n_perm: int = N_PERM):
+    """(doc_id, sig: fixed_size_list<uint64>[n_perm]) — vectorized per batch."""
+    a, b = _perm_params(n_perm)
+
+    def fn(t: pa.Table) -> pa.Table:
+        sigs = np.empty((t.num_rows, n_perm), dtype=np.uint64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            toks = token_set(s)
+            if not toks:
+                sigs[i, :] = np.uint64(MERSENNE_P)
+                continue
+            h = _token_hash64(toks) % np.uint64(MERSENNE_P)
+            # (a*h + b) mod p for all perms × tokens at once
+            vals = (h[None, :] * a[:, None] + b[:, None]) % np.uint64(MERSENNE_P)
+            sigs[i, :] = vals.min(axis=1)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), type=pa.uint64()), n_perm
+        )
+        return pa.table({"doc_id": t["doc_id"], "sig": sig_arr})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_buckets(signatures: "ray.data.Dataset", bands: int = LSH_BANDS):
+    """Explode signatures to (bucket, doc_id) — bucket = band idx + band hash."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        sigs = np.asarray(t["sig"].combine_chunks().flatten()).reshape(
+            t.num_rows, -1
+        )
+        rows_per_band = sigs.shape[1] // bands
+        ids = t["doc_id"].to_numpy()
+        out_b, out_d = [], []
+        for band in range(bands):
+            seg = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
+            for i in range(len(ids)):
+                h = hashlib.md5(seg[i].tobytes()).hexdigest()[:16]
+                out_b.append(f"{band}:{h}")
+                out_d.append(ids[i])
+        return pa.table(
+            {"bucket": pa.array(out_b), "doc_id": pa.array(out_d, pa.int64())}
+        )
+
+    return signatures.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_near_dups(
+    docs: "ray.data.Dataset", threshold: float = 0.9
+) -> pd.DataFrame:
+    """MinHash-LSH candidate pairs, verified by exact Jaccard ≥ threshold.
+
+    Pipeline: signatures (map_batches) → band buckets (map_batches) →
+    groupby(bucket) pair emission → distinct pairs → exact verify.
+    Precision is 1.0 by construction; recall follows the banding S-curve.
+
+    The verify step needs the two token sets per pair. Here the per-doc
+    token-set table is collected driver-side and used as a broadcast dict —
+    valid while distinct-token lists fit in memory (they are ~vocab-bounded);
+    the at-scale variant replaces it with a hash join of `pairs` against
+    `tokenize_distinct` on each side (two shuffles on doc_id)."""
+    from log_parser_ray.stages.aggregate import grouped_count
+
+    sigs = minhash_signatures(docs)
+    buckets = lsh_buckets(sigs)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    cand = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+    cand = grouped_count(cand, ["a_id", "b_id"], alias="_nb").to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(columns=["a_id", "b_id", "i", "u", "jac"])
+
+    token_sets = {
+        d: token_set(s)
+        for d, s in zip(
+            *[
+                docs.select_columns(["doc_id", "text"]).to_pandas()[c]
+                for c in ("doc_id", "text")
+            ]
+        )
+    }
+    verified = exact_jaccard_of_pairs(cand[["a_id", "b_id"]], token_sets)
+    out = verified[verified["jac"] >= threshold].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash candidates
+
+
+def simhash_candidate_pairs(
+    docs: "ray.data.Dataset", max_hamming: int = 3
+) -> pd.DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Bucketing: split the 64-bit fingerprint into (max_hamming+1) segments;
+    any pair within distance d ≤ max_hamming agrees on ≥1 segment
+    (pigeonhole), so groupby(segment value) generates all candidates, then
+    exact popcount verifies. Same shuffle shape as LSH banding."""
+    from log_parser_ray.stages.aggregate import grouped_count
+    from log_parser_ray.stages.textops import simhash64
+
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+
+    fps = simhash64(docs.select_columns(["doc_id", "text"])).select_columns(
+        ["doc_id", "simhash"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hs = [int(x, 16) for x in t["simhash"].to_pylist()]
+        ob, od, oh = [], [], []
+        for d, h in zip(ids, hs):
+            for s in range(n_seg):
+                seg = (h >> (s * seg_bits)) & ((1 << seg_bits) - 1)
+                ob.append(f"{s}:{seg:x}")
+                od.append(d)
+                oh.append(h)
+        return pa.table(
+            {
+                "bucket": pa.array(ob),
+                "doc_id": pa.array(od, pa.int64()),
+                "h": pa.array(oh, pa.uint64()),
+            }
+        )
+
+    exploded = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["h"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype=np.int64), "b_id": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = hs[ai] ^ hs[bi]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi], "hamming": ham})
+
+    pairs = exploded.groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    dedup = (
+        pairs.groupby(["a_id", "b_id"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .to_pandas()
+    )
+    out = dedup[dedup["hamming"] <= max_hamming].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True)

@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (list<float>).
+
+Scale design: the query matrix is small and broadcast (ray.put once via
+closure capture — Ray serializes it into the task/actor definition a single
+time, not per batch); the corpus streams through ``map_batches`` in blocks.
+Each block computes a float64 matmul against the broadcast queries and emits
+only its LOCAL top-k rows per query, so the shuffle/driver traffic is
+O(k × num_blocks), never the corpus. The IVF variant prunes the matmul to
+vectors whose coarse centroid is among the query's nprobe nearest — the
+classic inverted-file ANN layout; at cluster scale the assignment becomes the
+partitioning key so each probe touches only matching partitions.
+
+All cosine math is float64 (inputs are float32, exactly widened) so results
+are bit-comparable with the DuckDB oracle's
+list_cosine_similarity(CAST(… AS DOUBLE[])).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float32> column → (n, d) float64 matrix, zero-copy until widen."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def load_queries(sf_dir: str, n_queries: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the embeddings with vec_id < n_queries."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t["vec_id"], n_queries)).sort_by("vec_id")
+    return t["vec_id"].to_numpy(), _to_matrix(t["embedding"])
+
+
+def knn_bruteforce(
+    emb: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query: blocked matmul + local top-k + final merge.
+
+    Returns (query_id, vec_id, sim) with sim rounded to 6dp for the report
+    edge; ranking happens on unrounded float64."""
+    qn = _normalize(queries)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(t["embedding"]))
+        sims = m @ qn.T  # (n, q)
+        out_q, out_v, out_s = [], [], []
+        for j in range(qn.shape[0]):
+            s = sims[:, j]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != query_ids[j]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            # local top-k: a row outside its block's top-k cannot be global top-k
+            top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+            out_q.extend([query_ids[j]] * len(top))
+            out_v.extend(ids[top])
+            out_s.extend(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = cand.to_pandas()  # ≤ k × num_blocks × n_queries rows — small
+    df = df.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["sim"] = df["sim"].round(6)
+    return df.reset_index(drop=True)
+
+
+def kmeans_fit(
+    m: np.ndarray, n_clusters: int = 10, n_iter: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means (seeded init) — the IVF coarse quantizer.
+
+    At corpus scale this runs on a uniform sample (a few 100k vectors is
+    plenty for a coarse quantizer); assignment of the full corpus is a
+    map_batches pass."""
+    rs = np.random.RandomState(seed)
+    centroids = m[rs.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(n_iter):
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            pts = m[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(axis=0)
+    return centroids
+
+
+def knn_ivf(
+    emb: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF-style ANN: probe the nprobe clusters nearest each query; exact
+    cosine within probed clusters only. Same output shape as brute force."""
+    qn = _normalize(queries)
+    cn = _normalize(centroids)
+    # per query: the set of probed cluster ids
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(t["embedding"]))
+        assign = (m @ cn.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(qn.shape[0]):
+            mask = np.isin(assign, probes[j])
+            if exclude_self:
+                mask &= ids != query_ids[j]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ qn[j]
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.extend([query_ids[j]] * len(top))
+            out_v.extend(ids[cand[top]])
+            out_s.extend(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = cand.to_pandas()
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["sim"] = df["sim"].round(6)
+    return df.reset_index(drop=True)
+
+
+def cosine_near_dup_pairs(
+    emb: "ray.data.Dataset", full_matrix_ids: np.ndarray, full_matrix: np.ndarray,
+    threshold: float = 0.4,
+) -> pd.DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold: blocked row-stripe × broadcast.
+
+    The right side is broadcast once; each block computes its stripe of the
+    similarity matrix and keeps only above-threshold upper-triangle entries.
+    At corpus scale the broadcast side is replaced by LSH / IVF bucketing
+    (see knn_ivf) — this is the exact small/medium path and the verifier."""
+    fn_ids = full_matrix_ids
+    fm = _normalize(full_matrix)
+
+    def stripe(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(t["embedding"]))
+        sims = m @ fm.T
+        ai, bi = np.nonzero(sims >= threshold)
+        keep = ids[ai] < fn_ids[bi]  # upper triangle only, dedupes symmetric hits
+        return pa.table(
+            {
+                "a_id": pa.array(ids[ai][keep], pa.int64()),
+                "b_id": pa.array(fn_ids[bi][keep], pa.int64()),
+                "sim": pa.array(np.round(sims[ai, bi][keep], 6), pa.float64()),
+            }
+        )
+
+    df = (
+        emb.map_batches(stripe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+    )
+    return df.reset_index(drop=True)
+
+
+def load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Full (ids, matrix) of the embeddings table — the small broadcast side."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return t["vec_id"].to_numpy(), _to_matrix(t["embedding"])

@@ -1,0 +1,144 @@
+"""Text-analysis operators over a document table (doc_id, text, lang, source).
+
+The large-scale-training-data toolkit the reference lacks: quality scoring,
+token counting, language-ID and content fingerprinting, each a vectorized
+``map_batches`` stage (Arrow kernels, zero-copy) that streams — no stage here
+materializes the corpus. Regex patterns are shared verbatim with the DuckDB
+oracle SQL (both engines run RE2), so every op is value-checkable.
+
+Reference analogue: the per-line scalar derivations of SURVEY.md §2.2
+(M10 bucketing, M11 UA-classifier regex cascade, M18 unit normalization) —
+same shape, applied to document text instead of log lines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# Tokenizer patterns — IDENTICAL strings are used in the oracle SQL.
+WORD_RE = "[a-z0-9]+"
+# BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "on", "for")
+STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+# language-ID heuristic: >=2 English stopword hits → 'en' (n-gram/stopword
+# heuristics are the standard cheap lang-ID; fasttext et al. would slot into
+# the same map_batches stage as an actor pool with the model in __init__).
+LANG_EN_MIN_HITS = 2
+
+
+def quality_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc quality metrics: char/word/stopword counts + stopword ratio.
+
+    Vectorized: three RE2 kernels per batch, no Python row loop."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n_words = pc.count_substring_regex(low, WORD_RE)
+        n_stop = pc.count_substring_regex(low, STOP_RE)
+        ratio = pc.round(
+            pc.divide(
+                pc.cast(n_stop, pa.float64()),
+                pc.max_element_wise(pc.cast(n_words, pa.float64()), 1.0),
+            ),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "len_chars": pc.utf8_length(t["text"]),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "n_stopwords": pc.cast(n_stop, pa.int64()),
+                "stop_ratio": ratio,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_counts_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(source) → n_docs, sum_tokens under the BPE-ish tokenizer — the
+    "how many tokens is this corpus" question, two-phase aggregated."""
+    from log_parser_ray.stages.aggregate import grouped_stats
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(t["text"], BPE_RE), pa.int64())
+        return pa.table({"source": t["source"], "n_tokens": n_tok})
+
+    per_doc = docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_stats(per_doc, ["source"], "n_tokens", count="n_docs", sum_="sum_tokens")
+
+
+def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Append predicted language column (stopword-hit heuristic)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(pc.utf8_lower(t["text"]), STOP_RE)
+        pred = pc.if_else(
+            pc.greater_equal(hits, LANG_EN_MIN_HITS), "en", "unk"
+        )
+        return t.append_column("pred_lang", pred)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def md5_hex(texts) -> list[str]:
+    """Stable content fingerprint (hex md5) — matches DuckDB md5(text)."""
+    return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+
+
+def fingerprint(docs: "ray.data.Dataset", col: str = "text") -> "ray.data.Dataset":
+    """Append an md5 content fingerprint column.
+
+    The per-row hashlib call runs at C speed inside the batch; a vectorized
+    xxhash/cityhash kernel would slot in the same place if available."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fp = pa.array(md5_hex(t[col].to_pylist()), type=pa.string())
+        return t.append_column("fp", fp)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Append a 64-bit SimHash fingerprint (hex) of the word unigram multiset.
+
+    Charikar simhash: each token hashes to 64 bits; bit b of the fingerprint
+    is 1 iff the (count-weighted) sum of ±1 votes over tokens is positive.
+    Near-identical docs differ in few bits → near-dup detection by Hamming
+    distance (see dedup.simhash_candidate_pairs)."""
+
+    import re
+
+    word = re.compile(WORD_RE)
+    shift = np.arange(64, dtype=np.uint64)
+    bit_cache: dict[str, np.ndarray] = {}  # token → ±1 bit votes (vocab is tiny)
+
+    def token_bits(tok: str) -> np.ndarray:
+        v = bit_cache.get(tok)
+        if v is None:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+            )
+            v = (2 * ((h >> shift) & np.uint64(1)).astype(np.int64) - 1)
+            bit_cache[tok] = v
+        return v
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = []
+        for s in t["text"].to_pylist():
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in word.findall(s.lower()):
+                votes += token_bits(tok)
+            fp = int(np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+                     .view(np.uint64)[0])
+            fps.append(f"{fp:016x}")
+        return t.append_column("simhash", pa.array(fps, type=pa.string()))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,106 @@
+"""Aggregation toolkit vs a serial pandas oracle on small random tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from log_parser_ray.stages.aggregate import (
+    distinct_count,
+    grouped_count,
+    grouped_stats,
+    pivot_counts,
+    threshold_alerts,
+    top_k,
+)
+
+
+@pytest.fixture(scope="module")
+def table():
+    rng = np.random.RandomState(7)
+    n = 5000
+    return pd.DataFrame(
+        {
+            "k1": rng.choice(list("abcde"), n),
+            "k2": rng.randint(0, 4, n),
+            "v": rng.randint(0, 1000, n).astype("int64"),
+            "u": rng.randint(0, 50, n),
+        }
+    )
+
+
+def test_grouped_count(table):
+    got = grouped_count(rd.from_pandas(table), ["k1", "k2"], alias="n").to_pandas()
+    want = table.groupby(["k1", "k2"]).size().reset_index(name="n")
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+
+
+def test_grouped_count_skew_single_hot_key():
+    """A hot key (90% of rows) still aggregates exactly — the per-block partial
+    bounds its shuffle contribution to one row per block."""
+    df = pd.DataFrame({"k": ["hot"] * 9000 + ["c%d" % i for i in range(1000)]})
+    ds = rd.from_pandas(df).repartition(16)
+    got = grouped_count(ds, ["k"], alias="n").to_pandas()
+    assert int(got.loc[got["k"] == "hot", "n"].iloc[0]) == 9000
+    assert len(got) == 1001
+
+
+def test_grouped_stats(table):
+    got = grouped_stats(
+        rd.from_pandas(table), ["k1"], "v", count="n", sum_="s", min_="mn", max_="mx"
+    ).to_pandas().sort_values("k1").reset_index(drop=True)
+    want = (
+        table.groupby("k1")["v"]
+        .agg(n="count", s="sum", mn="min", mx="max")
+        .reset_index()
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    for c in ["n", "s", "mn", "mx"]:
+        assert (got[c].astype("int64") == want[c].astype("int64")).all()
+
+
+def test_distinct_count(table):
+    got = distinct_count(rd.from_pandas(table), ["k1"], "u", alias="nd").to_pandas()
+    want = table.groupby("k1")["u"].nunique().reset_index(name="nd")
+    got = got.sort_values("k1").reset_index(drop=True)
+    assert (got["nd"].astype("int64") == want["nd"].astype("int64")).all()
+
+
+def test_distinct_count_global(table):
+    got = distinct_count(rd.from_pandas(table), [], "u", alias="nd")
+    assert int(got["nd"].iloc[0]) == table["u"].nunique()
+
+
+def test_top_k_deterministic_ties():
+    df = pd.DataFrame({"k": list("abcdef"), "n": [5, 5, 5, 3, 3, 1]})
+    got = top_k(rd.from_pandas(df).repartition(3), ["n", "k"], [True, False], 4).to_pandas()
+    assert list(got["k"]) == ["a", "b", "c", "d"]
+
+
+def test_top_k_prune_matches_full_sort(table):
+    ds = rd.from_pandas(table).repartition(8)
+    a = top_k(ds, ["v", "k1"], [True, False], 15, prune_blocks=True).to_pandas()
+    b = top_k(ds, ["v", "k1"], [True, False], 15, prune_blocks=False).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pivot_zero_fill():
+    counts = rd.from_pandas(
+        pd.DataFrame({"r": ["x", "x", "y"], "c": ["a", "b", "a"], "n": [1, 2, 3]})
+    )
+    got = pivot_counts(counts, "r", "c", "n", ["a", "b", "z"]).to_pandas()
+    got = got.sort_values("r").reset_index(drop=True)
+    assert list(got.columns) == ["r", "a", "b", "z"]
+    assert got.loc[0].tolist() == ["x", 1, 2, 0]
+    assert got.loc[1].tolist() == ["y", 3, 0, 0]
+
+
+def test_threshold_alerts():
+    agg = pd.DataFrame({"k": ["a", "b"], "n": [10, 2]})
+    out = threshold_alerts(agg, rule="r", key_col="k", value_col="n", threshold=5.0)
+    assert list(out["key"]) == ["a"]
+    assert out["value"].iloc[0] == 10.0

@@ -1,0 +1,156 @@
+"""Tests for the training-data ops: dedup, similarity search, text analysis,
+multimodal plumbing. The SQL-expressible ops are oracle-checked by
+tools/check_correctness.py; these tests pin the non-SQL-expressible ones
+(MinHash-LSH recall, SimHash locality, IVF recall, stub decode determinism)
+against brute-force ground truth on small inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from log_parser_ray.stages import dedup as ddp
+from log_parser_ray.stages import similarity as sim
+from log_parser_ray.stages import textops
+from log_parser_ray.stages.multimodal import FEATURE_DIM, blob_features
+
+
+def docs_ds(texts: list[str]) -> "ray.data.Dataset":
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    ).repartition(3)
+
+
+BASE = "the quick brown fox jumps over the lazy dog near a river bank today"
+NEAR = BASE.replace("today", "tonight")  # one-token change
+FAR = "completely different words about spark shuffle partitions and arrow"
+
+
+def brute_jaccard_pairs(texts, threshold):
+    sets = [ddp.token_set(t) for t in texts]
+    out = []
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and i / u >= threshold:
+                out.append((a, b))
+    return set(out)
+
+
+def test_exact_dedup_survivor_rule(ray_session):
+    ds = docs_ds([BASE, FAR, BASE, NEAR, BASE])
+    out = ddp.exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # three distinct texts; BASE's survivor is min doc_id (0) with 3 copies
+    assert len(out) == 3
+    base_row = out[out["doc_id"] == 0].iloc[0]
+    assert base_row["n_copies"] == 3
+    assert set(out["doc_id"]) == {0, 1, 3}
+
+
+def test_minhash_precision_and_recall(ray_session):
+    texts = [BASE, NEAR, FAR, BASE + " extra", "the quick brown fox", FAR + " more"]
+    ds = docs_ds(texts)
+    got = ddp.minhash_near_dups(ds, threshold=0.8)
+    got_pairs = set(zip(got["a_id"], got["b_id"]))
+    exact = brute_jaccard_pairs(texts, 0.8)
+    # precision 1.0 by construction (exact verify step)
+    assert got_pairs <= exact
+    # near-identical sets must be recalled (banding S-curve ≈ 1 at jac≥0.9)
+    assert got_pairs == exact
+    for _, r in got.iterrows():
+        assert r["jac"] >= 0.8
+
+
+def test_simhash_determinism_and_locality(ray_session):
+    ds = docs_ds([BASE, BASE, NEAR, FAR])
+    fp = textops.simhash64(ds).to_pandas().sort_values("doc_id")
+    h = [int(x, 16) for x in fp["simhash"]]
+    assert h[0] == h[1]  # identical text → identical fingerprint
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h[0], h[2]) < ham(h[0], h[3])  # near-dup closer than unrelated
+
+
+def test_simhash_candidate_pairs(ray_session):
+    ds = docs_ds([BASE, BASE, NEAR, FAR])
+    pairs = ddp.simhash_candidate_pairs(ds, max_hamming=3)
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    assert (0, 1) in got  # identical docs: hamming 0
+    assert all(h <= 3 for h in pairs["hamming"])
+    assert not any(FAR_id in p for p in got for FAR_id in (3,)) or all(
+        pairs[(pairs["a_id"] == 3) | (pairs["b_id"] == 3)]["hamming"] <= 3
+    )
+
+
+def emb_ds(m: np.ndarray) -> "ray.data.Dataset":
+    flat = pa.array(m.astype(np.float32).reshape(-1), type=pa.float32())
+    col = pa.FixedSizeListArray.from_arrays(flat, m.shape[1])
+    return ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(len(m)), pa.int64()), "embedding": col})
+    ).repartition(4)
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    rs = np.random.RandomState(7)
+    m = rs.standard_normal((60, 16))
+    ds = emb_ds(m)
+    qids = np.array([0, 1])
+    out = sim.knn_bruteforce(ds, qids, m[:2].copy(), k=3)
+    # ground truth in pure numpy (from the float32-widened values)
+    m64 = m.astype(np.float32).astype(np.float64)
+    n = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    for qi in qids:
+        sims = n @ n[qi]
+        sims[qi] = -np.inf
+        top = np.argsort(-sims, kind="stable")[:3]
+        got = out[out["query_id"] == qi]["vec_id"].tolist()
+        assert got == top.tolist()
+
+
+def test_knn_ivf_recall(ray_session):
+    rs = np.random.RandomState(3)
+    # clustered data so IVF probing is meaningful
+    centers = rs.standard_normal((5, 16)) * 4
+    m = np.vstack([c + rs.standard_normal((40, 16)) for c in centers])
+    ds = emb_ds(m)
+    qids = np.array([0, 50, 100])
+    qm = m[[0, 50, 100]].astype(np.float32).astype(np.float64)
+    cents = sim.kmeans_fit(m.astype(np.float32).astype(np.float64), n_clusters=5)
+    brute = sim.knn_bruteforce(ds, qids, qm, k=5)
+    ivf = sim.knn_ivf(ds, qids, qm, cents, k=5, nprobe=2)
+    recall = len(
+        set(zip(ivf["query_id"], ivf["vec_id"]))
+        & set(zip(brute["query_id"], brute["vec_id"]))
+    ) / len(brute)
+    assert recall >= 0.8
+
+
+def test_blob_features_plumbing(ray_session):
+    ds = docs_ds([BASE, NEAR, FAR])
+    out = blob_features(ds, concurrency=2, batch_size=2).to_pandas()
+    assert sorted(out.columns) == ["blob_id", "feature", "n_bytes"]
+    assert len(out) == 3
+    feats = np.stack([np.asarray(f) for f in out["feature"]])
+    assert feats.shape == (3, FEATURE_DIM)
+    assert np.allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+    # determinism: same payload → same features on a second run
+    out2 = blob_features(ds, concurrency=2, batch_size=2).to_pandas()
+    m1 = dict(zip(out["blob_id"], out["feature"]))
+    m2 = dict(zip(out2["blob_id"], out2["feature"]))
+    for k in m1:
+        assert np.allclose(m1[k], m2[k])
+
+
+def test_quality_stats_values(ray_session):
+    ds = docs_ds(["The quick brown fox!", "a a a", ""])
+    out = textops.quality_stats(ds).to_pandas().sort_values("doc_id")
+    assert out["n_words"].tolist() == [4, 3, 0]
+    assert out["n_stopwords"].tolist() == [1, 3, 0]  # 'the'; 'a' ×3
+    assert out["stop_ratio"].tolist() == [0.25, 1.0, 0.0]
