@@ -4,10 +4,21 @@ The reference's ~40 AWK associative arrays (SURVEY.md §2.5,
 webAccessLogParser.sh:669-789) are grouped counts / sums / distincts / min-max
 accumulated in one process. At 100 TB a bare ``groupby().aggregate()`` ships
 every row through an all-to-all shuffle, so every helper here pre-aggregates
-INSIDE ``map_batches`` first (one row per key per block) and only shuffles the
-partials — the classic combiner. Skewed keys are handled by the partial step
-too: a hot key contributes at most one row per block to the shuffle, which is
-exactly what salting would achieve for count/sum-like aggregates.
+INSIDE ``map_batches`` first (whole-block batches — one combine per block,
+one row per key per block into the shuffle). Skewed keys are handled by the
+partial step too: a hot key contributes at most one row per block to the
+shuffle, which is exactly what salting would achieve for count/sum-like
+aggregates.
+
+The shuffle itself is ``sort(keys)`` + a per-block pyarrow ``group_by``
+combine — NOT ``Dataset.groupby().aggregate()``, whose per-group Python
+combine is ~35× slower at high group cardinality (measured: 1.5 M partial
+rows / 250 k groups: 34.6 s vs 1.0 s on 8 CPUs). Correctness rests on Ray's
+range partitioner assigning ALL rows with equal key values to one partition
+(boundaries compare by value, ties resolve to one side); the per-block
+combine is therefore exact — pinned by tests/test_aggregate.py with
+adversarially skewed keys. Output stays distributed (one block per key
+range), so group cardinality can exceed single-node memory.
 
 All helpers return lazily-executing Datasets; results are small (post-agg).
 """
@@ -20,7 +31,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _partial(keys: Sequence[str], aggs: list[tuple[str, str]]):
@@ -35,13 +45,42 @@ def _partial(keys: Sequence[str], aggs: list[tuple[str, str]]):
     return fn
 
 
+def _mb(ds, fn):
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def sorted_combine(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    aggs: list[tuple[str, str]],
+    renames: dict[str, str] | None = None,
+    keep: Sequence[str] | None = None,
+):
+    """Exact grouped aggregate of per-block partials: range-sort on keys, then
+    one vectorized pyarrow combine per block (see module docstring)."""
+    keys = list(keys)
+    renames = renames or {}
+
+    def final(b: pa.Table) -> pa.Table:
+        out = b.group_by(keys).aggregate(aggs)
+        out = out.rename_columns([renames.get(c, c) for c in out.column_names])
+        if keep is not None:
+            out = out.select(list(keep))
+        return out
+
+    return _mb(ds.sort(keys), final)
+
+
 def grouped_count(ds: "ray.data.Dataset", keys: Sequence[str], alias: str = "n"):
     """groupby(keys).count() with per-block combining (A1–A21 family)."""
     keys = list(keys)
-    partial = ds.map_batches(
-        _partial(keys, [("", "count_all")]), batch_format="pyarrow", zero_copy_batch=True
+    partial = _mb(ds, _partial(keys, [("", "count_all")]))
+    return sorted_combine(
+        partial, keys, [("count_all", "sum")],
+        renames={"count_all_sum": alias}, keep=keys + [alias],
     )
-    return partial.groupby(keys).aggregate(Sum("count_all", alias_name=alias))
 
 
 def grouped_stats(
@@ -56,19 +95,26 @@ def grouped_stats(
 ):
     """count/sum/min/max of one column per key, combined two-phase (AG1/A13)."""
     keys = list(keys)
-    aggs = [(col, "sum"), (col, "min"), (col, "max"), (col, "count")]
-    partial = ds.map_batches(_partial(keys, aggs), batch_format="pyarrow", zero_copy_batch=True)
-    finals = [Sum(f"{col}_count", alias_name=count or "_n")]
+    partial = _mb(
+        ds,
+        _partial(keys, [(col, "sum"), (col, "min"), (col, "max"), (col, "count")]),
+    )
+    aggs = [(f"{col}_count", "sum")]
+    renames = {f"{col}_count_sum": count or "_n"}
+    keep = list(keys) + ([count] if count else [])
     if sum_:
-        finals.append(Sum(f"{col}_sum", alias_name=sum_))
+        aggs.append((f"{col}_sum", "sum"))
+        renames[f"{col}_sum_sum"] = sum_
+        keep.append(sum_)
     if min_:
-        finals.append(Min(f"{col}_min", alias_name=min_))
+        aggs.append((f"{col}_min", "min"))
+        renames[f"{col}_min_min"] = min_
+        keep.append(min_)
     if max_:
-        finals.append(Max(f"{col}_max", alias_name=max_))
-    out = partial.groupby(keys).aggregate(*finals)
-    if not count:
-        out = out.drop_columns(["_n"])
-    return out
+        aggs.append((f"{col}_max", "max"))
+        renames[f"{col}_max_max"] = max_
+        keep.append(max_)
+    return sorted_combine(partial, keys, aggs, renames=renames, keep=keep)
 
 
 def distinct_count(
@@ -80,26 +126,23 @@ def distinct_count(
     """COUNT(DISTINCT distinct) GROUP BY keys (D1–D3 family).
 
     Two-phase: per-block dedup of (keys ∪ distinct) cuts shuffle volume, then
-    a global dedup groupby, then a small count groupby.
-    """
+    a global sorted dedup; the per-keys count then combines the (already
+    tiny) per-block distinct sets."""
     keys = list(keys)
     dcols = [distinct] if isinstance(distinct, str) else list(distinct)
     allk = list(dict.fromkeys(keys + dcols))
 
-    def block_dedup(batch: pa.Table) -> pa.Table:
-        return batch.select(allk).group_by(allk).aggregate([])
-
-    deduped = ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-    global_dedup = deduped.groupby(allk).aggregate(Count(alias_name="_dup"))
+    deduped = _mb(ds, _partial(allk, []))
+    global_dedup = sorted_combine(deduped, allk, [], keep=allk)
     if not keys:
         import pandas as pd
 
-        # (global Dataset.aggregate(Count()) returns 0 in ray 2.49 — use count())
         return pd.DataFrame({alias: [int(global_dedup.count())]})
-    partial = global_dedup.map_batches(
-        _partial(keys, [("", "count_all")]), batch_format="pyarrow", zero_copy_batch=True
+    partial = _mb(global_dedup, _partial(keys, [("", "count_all")]))
+    return sorted_combine(
+        partial, keys, [("count_all", "sum")],
+        renames={"count_all_sum": alias}, keep=keys + [alias],
     )
-    return partial.groupby(keys).aggregate(Sum("count_all", alias_name=alias))
 
 
 def top_k(
@@ -130,7 +173,7 @@ def top_k(
             ix = pc.sort_indices(batch, sort_keys=order)[:k]
             return batch.take(ix)
 
-        ds = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _mb(ds, local_topk)
     return ds.sort(by, descending=descending).limit(k)
 
 
@@ -143,19 +186,36 @@ def pivot_counts(
 ):
     """Pivot a (row_key, col_key, value) count table wide with zero-fill
     (AG6 — fixed column dictionary like webAccessLogParser.sh:796,799).
-    Runs as map_groups over the already-small aggregate table."""
-    import pandas as pd
-
+    A re-sort on row_key ALONE precedes the per-block pivot: the count table
+    arrives range-partitioned on (row_key, col_key), whose boundaries can
+    split one row_key across blocks — sorting on just row_key restores the
+    all-rows-of-a-key-in-one-block invariant. The table is post-aggregate
+    (small), so this sort is cheap."""
     columns = list(columns)
+    counts = counts.sort(row_key)
 
-    def pivot_group(g: pd.DataFrame) -> pd.DataFrame:
-        m = dict(zip(g[col_key], g[value]))
-        row = {row_key: g[row_key].iloc[0]}
+    def pivot_block(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        if df.empty:
+            return pa.table(
+                {row_key: pa.array([], b.schema.field(row_key).type)}
+                | {c: pa.array([], pa.int64()) for c in columns}
+            )
+        wide = df.pivot_table(
+            index=row_key, columns=col_key, values=value, aggfunc="sum", fill_value=0
+        )
+        out = {row_key: wide.index.to_numpy()}
         for c in columns:
-            row[c] = int(m.get(c, 0))
-        return pd.DataFrame([row])
+            out[c] = (
+                wide[c].to_numpy().astype("int64")
+                if c in wide.columns
+                else [0] * len(wide)
+            )
+        return pa.table(out)
 
-    return counts.groupby(row_key).map_groups(pivot_group, batch_format="pandas")
+    return _mb(counts, pivot_block)
 
 
 def threshold_alerts(

@@ -79,7 +79,7 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     Shuffle key is the md5 fingerprint — identical texts land in one group
     regardless of where they were read; survivor choice (min doc_id) is
     deterministic under any parallelism."""
-    from ray.data.aggregate import Min, Sum
+    from log_parser_ray.stages.aggregate import sorted_combine
 
     fps = fingerprint(docs).select_columns(["doc_id", "fp"])
 
@@ -89,10 +89,85 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             .aggregate([("doc_id", "min"), ([], "count_all")])
         )
 
-    part = fps.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("fp").aggregate(
-        Min("doc_id_min", alias_name="doc_id"),
-        Sum("count_all", alias_name="n_copies"),
+    part = fps.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return sorted_combine(
+        part,
+        ["fp"],
+        [("doc_id_min", "min"), ("count_all", "sum")],
+        renames={"doc_id_min_min": "doc_id", "count_all_sum": "n_copies"},
+        keep=["fp", "doc_id", "n_copies"],
+    )
+
+
+def _pairs_from_buckets(
+    ds: "ray.data.Dataset",
+    bucket_col: str,
+    id_col: str,
+    payload_col: str | None = None,
+) -> "ray.data.Dataset":
+    """(bucket, id[, payload]) → candidate pairs (a_id, b_id[, a_pl, b_pl]).
+
+    Shape: ``sort(bucket)`` then ONE vectorized emission per block — equal
+    buckets share a block after the range sort (same invariant as
+    aggregate.sorted_combine), and group segmentation inside the block is
+    numpy, so there is no per-group Python/pandas task overhead (the
+    ``groupby().map_groups`` equivalent measured ~1 ms per bucket — ruinous
+    at thousands of LSH buckets)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        empty = {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+        }
+        if payload_col:
+            ptype = b.schema.field(payload_col).type
+            empty["a_pl"] = pa.array([], ptype)
+            empty["b_pl"] = pa.array([], ptype)
+        if n < 2:
+            return pa.table(empty)
+        buckets = np.asarray(b[bucket_col])
+        ids = np.asarray(b[id_col])
+        payload = np.asarray(b[payload_col]) if payload_col else None
+        order = np.lexsort((ids, buckets))
+        buckets, ids = buckets[order], ids[order]
+        if payload is not None:
+            payload = payload[order]
+        # drop duplicate (bucket, id) rows
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (buckets[1:] != buckets[:-1]) | (ids[1:] != ids[:-1])
+        buckets, ids = buckets[keep], ids[keep]
+        if payload is not None:
+            payload = payload[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(buckets)]))
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            ai_all.append(ai + s)
+            bi_all.append(bi + s)
+        if not ai_all:
+            return pa.table(empty)
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        out = {
+            "a_id": pa.array(ids[ai], pa.int64()),
+            "b_id": pa.array(ids[bi], pa.int64()),
+        }
+        if payload is not None:
+            out["a_pl"] = pa.array(payload[ai])
+            out["b_pl"] = pa.array(payload[bi])
+        return pa.table(out)
+
+    return ds.sort(bucket_col).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -128,14 +203,7 @@ def jaccard_pairs(
     sizes = grouped_count(tok, ["doc_id"], alias="n").to_pandas()
     size_map = dict(zip(sizes["doc_id"], sizes["n"]))
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
-
-    pairs = tok.groupby("w").map_groups(emit_pairs, batch_format="pandas")
+    pairs = _pairs_from_buckets(tok, "w", "doc_id")
     inter = grouped_count(pairs, ["a_id", "b_id"], alias="i").to_pandas()
     if len(inter) == 0:
         return pd.DataFrame(columns=["a_id", "b_id", "i", "u", "jac"])
@@ -229,14 +297,7 @@ def minhash_near_dups(
     sigs = minhash_signatures(docs)
     buckets = lsh_buckets(sigs)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
-
-    cand = buckets.groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+    cand = _pairs_from_buckets(buckets, "bucket", "doc_id")
     cand = grouped_count(cand, ["a_id", "b_id"], alias="_nb").to_pandas()
     if len(cand) == 0:
         return pd.DataFrame(columns=["a_id", "b_id", "i", "u", "jac"])
@@ -296,32 +357,35 @@ def simhash_candidate_pairs(
             }
         )
 
-    exploded = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = fps.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["h"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a_id": pd.Series(dtype=np.int64), "b_id": pd.Series(dtype=np.int64),
-                 "hamming": pd.Series(dtype=np.int64)}
-            )
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = hs[ai] ^ hs[bi]
+    raw_pairs = _pairs_from_buckets(exploded, "bucket", "doc_id", payload_col="h")
+
+    def hamming(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["a_pl"]).astype(np.uint64) ^ np.asarray(b["b_pl"]).astype(
+            np.uint64
+        )
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi], "hamming": ham})
+        return pa.table(
+            {"a_id": b["a_id"], "b_id": b["b_id"], "hamming": pa.array(ham)}
+        )
 
-    pairs = exploded.groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    dedup = (
-        pairs.groupby(["a_id", "b_id"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .to_pandas()
+    pairs = raw_pairs.map_batches(
+        hamming, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    from log_parser_ray.stages.aggregate import sorted_combine
+
+    dedup = sorted_combine(
+        pairs,
+        ["a_id", "b_id"],
+        [("hamming", "min")],
+        renames={"hamming_min": "hamming"},
+        keep=["a_id", "b_id", "hamming"],
+    ).to_pandas()
     out = dedup[dedup["hamming"] <= max_hamming].sort_values(["a_id", "b_id"])
     return out.reset_index(drop=True)

@@ -104,3 +104,34 @@ def test_threshold_alerts():
     out = threshold_alerts(agg, rule="r", key_col="k", value_col="n", threshold=5.0)
     assert list(out["key"]) == ["a"]
     assert out["value"].iloc[0] == 10.0
+
+
+def test_sorted_combine_skewed_keys_exact():
+    """The range-sort + per-block-combine shuffle must keep all rows of an
+    equal key in one block — adversarial skew: 2 hot keys over many blocks."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    n = 200_000
+    df = pd.DataFrame(
+        {"k1": rs.choice(["hot", "cold"], n, p=[0.98, 0.02]), "v": rs.randint(0, 100, n)}
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    got = grouped_stats(ds, ["k1"], "v", count="n", sum_="s").to_pandas()
+    truth = df.groupby("k1").agg(n=("v", "count"), s=("v", "sum")).reset_index()
+    got = got.sort_values("k1").reset_index(drop=True)
+    truth = truth.sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth, check_dtype=False)
+
+
+def test_grouped_count_high_cardinality_exact():
+    import numpy as np
+
+    rs = np.random.RandomState(1)
+    n = 100_000
+    df = pd.DataFrame({"k1": rs.randint(0, 30_000, n)})
+    ds = rd.from_pandas(df).repartition(12)
+    got = grouped_count(ds, ["k1"], alias="n").to_pandas()
+    truth = df.groupby("k1").size().reset_index(name="n")
+    got = got.sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth, check_dtype=False)
