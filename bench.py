@@ -98,9 +98,22 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _warmup(num_cpus: int):
+    """Spin up the Python worker pool before timing: first-touch worker
+    startup (~0.3-0.5 s/worker import cost) would otherwise be billed to the
+    first pipeline stage and distort the N-vs-4N scaling comparison, which is
+    about steady-state throughput."""
+    import ray.data
+
+    ray.data.range(num_cpus * 2000, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+
 def single_run(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
     _init_ray(num_cpus)
     sys.path.insert(0, REPO)
+    _warmup(num_cpus)
     t0 = time.perf_counter()
     fr = run_flagship(sf_dir)
     queries = {"flagship": round(fr["wall_s"], 3)}

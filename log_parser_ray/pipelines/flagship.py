@@ -10,10 +10,15 @@ with per-partition lineage metrics.
       → threshold alerts (broadcast join)
 
 The input is parsed EXACTLY ONCE: the routed fan-out is written first, and all
-aggregates run over the written per-sink Parquet with column pruning — the
-same pattern the reference uses (one AWK pass emits the parsed table + side
-files; sort/top-k passes read the temp files, webAccessLogParser.sh:1300-1513)
-and the one that scales: at 100 TB you never re-run the regex pass per report.
+aggregates run over the written per-sink Parquet — the same pattern the
+reference uses (one AWK pass emits the parsed table + side files; sort/top-k
+passes read the temp files, webAccessLogParser.sh:1300-1513) and the one that
+scales: at 100 TB you never re-run the regex pass per report. The re-read is
+ONE scan pruned to the union of aggregate columns (7 narrow columns of the
+routed table), materialized once in the object store and shared by every
+aggregate — five separate read_parquet scans would re-pay listing + decode
+per report, and the pruned projection is a small fraction of the full table
+(spill handles the tail at extreme scale).
 """
 
 from __future__ import annotations
@@ -61,28 +66,33 @@ def run(
     routed = build(transcripts, enrich_concurrency=enrich_concurrency)
     write_sinks(routed, out_dir)
 
-    def scan(columns):
-        return ray.data.read_parquet(out_dir, columns=columns)
+    # ONE pruned scan feeds every aggregate (see module docstring).
+    narrow = ray.data.read_parquet(
+        out_dir,
+        columns=["conv_id", "turn_idx", "category", "hour", "tool_name", "rt_us", "sink"],
+    ).materialize()
 
-    sink_counts = grouped_count(scan(["sink"]), ["sink"], alias="n").to_pandas()
+    sink_counts = grouped_count(narrow, ["sink"], alias="n").to_pandas()
     conv_category = grouped_count(
-        scan(["conv_id", "category", "sink"]), ["conv_id", "category"], alias="n"
+        narrow, ["conv_id", "category"], alias="n"
     ).to_pandas()
-    hourly = grouped_count(scan(["hour", "sink"]), ["hour", "sink"], alias="n").to_pandas()
+    hourly = grouped_count(narrow, ["hour", "sink"], alias="n").to_pandas()
     topk_slow = top_k(
-        scan(["conv_id", "turn_idx", "tool_name", "rt_us", "sink"])
-        .map_batches(_not_null("rt_us"), batch_format="pyarrow", zero_copy_batch=True)
-        .select_columns(["conv_id", "turn_idx", "tool_name", "rt_us"]),
+        narrow.map_batches(
+            _not_null("rt_us"), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).select_columns(["conv_id", "turn_idx", "tool_name", "rt_us"]),
         by=["rt_us", "conv_id", "turn_idx"],
         descending=[True, False, False],
         k=10,
     ).to_pandas()
 
     errors_per_conv = grouped_count(
-        scan(["conv_id", "sink"]).map_batches(
+        narrow.map_batches(
             lambda t: t.filter(pc.equal(t["sink"], "errors")),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=None,
         ),
         ["conv_id"],
         alias="n",

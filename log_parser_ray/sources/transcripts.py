@@ -36,74 +36,104 @@ import pandas as pd
 import ray.data
 
 
-def _compose(batch: pd.DataFrame) -> pd.DataFrame:
+def _compose(batch):
+    """Fully vectorized: numpy for the integer arithmetic, Arrow
+    binary_join_element_wise for string building — no Python-per-row work
+    (the object-dtype '+' version measured ~67 µs/row; this is <4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     eid = batch["event_id"].to_numpy()
-    etype = batch["event_type"].to_numpy()
     value = batch["value"].to_numpy()
     uid = batch["user_id"].to_numpy()
+    et = batch["event_type"].to_numpy(zero_copy_only=False)
 
-    def s(a):  # object dtype so elementwise `+` concatenation works
-        return a.astype(object)
+    is_err = et == "error"
+    is_click = et == "click"
+    is_pur = et == "purchase"
+    is_sign = et == "signup"
 
-    ms = s(np.round(value * 1000.0).astype(np.int64).astype(str))
-    us = s(np.round(value * 1_000_000.0).astype(np.int64).astype(str))
-    code3 = s(np.char.zfill((eid % 1000).astype(str), 3))
-    sev_letter = s(np.where(eid % 3 == 0, "E", "W"))
-    corba = s(np.where(eid % 7 == 0, " CORBA.NO_RESPONSE", ""))
-    http = s(np.where(value >= 100.0, "503", np.where(value >= 50.0, "404", "200")))
-    status = s(np.where((etype == "purchase") & (eid % 11 == 0), "err", "ok"))
-    tool_nm = s(np.where(etype == "click", "search", "checkout"))
-    logout = s(np.where(etype == "purchase", " logout", ""))
+    def j(*parts):  # element-wise concat; trailing arg is the separator
+        return pc.binary_join_element_wise(*parts, "")
 
-    err_txt = (
-        "ERROR [WSVR0" + code3 + sev_letter + "] thread hung for " + ms + " ms" + corba
-    )
-    tool_txt = (
-        '<tool_call name="' + tool_nm + '" status="' + status + '" rt_us=' + us + ">"
-        + logout
-    )
-    login_txt = "login uid=u" + s(uid.astype(str))
-    view_txt = np.where(
-        eid % 13 == 0,
-        "note " + s(eid.astype(str)),
-        "GET /app/page" + s((eid % 20).astype(str)) + " status=" + http,
+    def istr(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    ms_s = istr(np.round(value * 1000.0).astype(np.int64))
+    us_s = istr(np.round(value * 1_000_000.0).astype(np.int64))
+    uid_s = istr(uid)
+    code3 = pc.utf8_lpad(istr(eid % 1000), 3, "0")
+    sev = pc.if_else(pa.array(eid % 3 == 0), "E", "W")
+    corba = pc.if_else(pa.array(eid % 7 == 0), " CORBA.NO_RESPONSE", "")
+    err_txt = j("ERROR [WSVR0", code3, sev, "] thread hung for ", ms_s, " ms", corba)
+
+    status = pc.if_else(pa.array(is_pur & (eid % 11 == 0)), "err", "ok")
+    tool_nm = pc.if_else(pa.array(is_click), "search", "checkout")
+    logout = pc.if_else(pa.array(is_pur), " logout", "")
+    tool_txt = j(
+        '<tool_call name="', tool_nm, '" status="', status, '" rt_us=', us_s, ">",
+        logout,
     )
 
-    text = np.select(
-        [etype == "error", np.isin(etype, ("click", "purchase")), etype == "signup"],
-        [err_txt, tool_txt, login_txt],
-        default=view_txt,
+    login_txt = j("login uid=u", uid_s)
+    http = pc.if_else(
+        pa.array(value >= 100.0),
+        "503",
+        pc.if_else(pa.array(value >= 50.0), "404", "200"),
     )
-    role = np.select(
-        [etype == "error", etype == "signup", etype == "purchase"],
-        ["system", "assistant", "tool"],
-        default="user",
+    view_txt = pc.if_else(
+        pa.array(eid % 13 == 0),
+        j("note ", istr(eid)),
+        j("GET /app/page", istr(eid % 20), " status=", http),
     )
-    tool = np.full(len(eid), None, dtype=object)
-    tool[etype == "click"] = "search"
-    tool[etype == "purchase"] = "checkout"
-    tool[etype == "signup"] = "auth"
 
-    out = pd.DataFrame(
+    text = pc.if_else(
+        pa.array(is_err),
+        err_txt,
+        pc.if_else(
+            pa.array(is_click | is_pur),
+            tool_txt,
+            pc.if_else(pa.array(is_sign), login_txt, view_txt),
+        ),
+    )
+    role = pc.if_else(
+        pa.array(is_err),
+        "system",
+        pc.if_else(
+            pa.array(is_sign),
+            "assistant",
+            pc.if_else(pa.array(is_pur), "tool", "user"),
+        ),
+    )
+    tool = pa.array(
+        np.where(is_click, "search", np.where(is_pur, "checkout", "auth")),
+        mask=~(is_click | is_pur | is_sign),
+    )
+
+    return pa.table(
         {
-            "conv_id": "c" + s(uid.astype(str)),
-            "turn_idx": eid.astype(np.int32),
+            "conv_id": j("c", uid_s),
+            "turn_idx": pa.array(eid.astype(np.int32)),
             "role": role,
             "text": text,
             "tool": tool,
-            "ts": batch["ts"].to_numpy(),
+            "ts": batch["ts"],
         }
     )
-    return out
 
 
 def transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
-    """events.parquet → transcript Dataset (row-local map, streams, no shuffle)."""
+    """events.parquet → transcript Dataset (row-local map, streams, no shuffle).
+
+    batch_size=32768 coalesces the reader's small blocks into full batches so
+    per-task overhead stays negligible at every sf."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
-    return ds.map_batches(_compose, batch_format="pandas")
+    return ds.map_batches(
+        _compose, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768
+    )
 
 
 def read_transcripts(path: str, **kwargs) -> "ray.data.Dataset":

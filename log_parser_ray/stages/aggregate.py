@@ -45,9 +45,18 @@ def _partial(keys: Sequence[str], aggs: list[tuple[str, str]]):
     return fn
 
 
-def _mb(ds, fn):
+# Partial-combine batch size: coalesces small input blocks so the shuffle
+# sees few, well-combined partials (70 tiny blocks → 70 near-useless partials
+# otherwise), while bounding per-task memory to ~1M rows at scale.
+COMBINE_ROWS = 1 << 20
+
+
+def _mb(ds, fn, batch_size=None):
+    """batch_size=None → whole-block batches (required wherever the fn relies
+    on the range-sort invariant: a block is never split, so equal keys stay
+    in one batch). Pass COMBINE_ROWS for pre-shuffle partial stages."""
     return ds.map_batches(
-        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
 
 
@@ -76,7 +85,7 @@ def sorted_combine(
 def grouped_count(ds: "ray.data.Dataset", keys: Sequence[str], alias: str = "n"):
     """groupby(keys).count() with per-block combining (A1–A21 family)."""
     keys = list(keys)
-    partial = _mb(ds, _partial(keys, [("", "count_all")]))
+    partial = _mb(ds, _partial(keys, [("", "count_all")]), batch_size=COMBINE_ROWS)
     return sorted_combine(
         partial, keys, [("count_all", "sum")],
         renames={"count_all_sum": alias}, keep=keys + [alias],
@@ -98,6 +107,7 @@ def grouped_stats(
     partial = _mb(
         ds,
         _partial(keys, [(col, "sum"), (col, "min"), (col, "max"), (col, "count")]),
+        batch_size=COMBINE_ROWS,
     )
     aggs = [(f"{col}_count", "sum")]
     renames = {f"{col}_count_sum": count or "_n"}
@@ -132,13 +142,13 @@ def distinct_count(
     dcols = [distinct] if isinstance(distinct, str) else list(distinct)
     allk = list(dict.fromkeys(keys + dcols))
 
-    deduped = _mb(ds, _partial(allk, []))
+    deduped = _mb(ds, _partial(allk, []), batch_size=COMBINE_ROWS)
     global_dedup = sorted_combine(deduped, allk, [], keep=allk)
     if not keys:
         import pandas as pd
 
         return pd.DataFrame({alias: [int(global_dedup.count())]})
-    partial = _mb(global_dedup, _partial(keys, [("", "count_all")]))
+    partial = _mb(global_dedup, _partial(keys, [("", "count_all")]), batch_size=COMBINE_ROWS)
     return sorted_combine(
         partial, keys, [("count_all", "sum")],
         renames={"count_all_sum": alias}, keep=keys + [alias],
@@ -173,7 +183,7 @@ def top_k(
             ix = pc.sort_indices(batch, sort_keys=order)[:k]
             return batch.take(ix)
 
-        ds = _mb(ds, local_topk)
+        ds = _mb(ds, local_topk, batch_size=COMBINE_ROWS)
     return ds.sort(by, descending=descending).limit(k)
 
 
