@@ -14,8 +14,8 @@ per node via the object store, not once per task.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -31,22 +31,23 @@ from log_parser_ray.schema import (
 def _lookup(values: pa.ChunkedArray, mapping: dict, default: str, none_value: str | None):
     """Vectorized dict lookup on a string column.
 
+    dictionary_encode collapses the column to its (few) unique values; the
+    Python dict is consulted once per UNIQUE value, then a C-speed take maps
+    every row — a true broadcast hash join with no per-row Python.
+
     default: value for keys present but not in the mapping.
     none_value: value for null keys (None → keep null).
     """
     arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
-    np_vals = arr.to_numpy(zero_copy_only=False)
-    keys = list(mapping.keys())
-    key_to_ix = {k: i for i, k in enumerate(keys)}
-    mapped = np.array([mapping[k] for k in keys] + [default], dtype=object)
-    ix = np.fromiter(
-        (key_to_ix.get(v, len(keys)) for v in np_vals), dtype=np.int64, count=len(np_vals)
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    mapped_uniq = pa.array(
+        [mapping.get(u, default) for u in uniq], type=pa.string()
     )
-    out = mapped[ix]
+    out = mapped_uniq.take(enc.indices)  # null indices stay null
     if none_value is not None:
-        isnull = np.array([v is None for v in np_vals])
-        out[isnull] = none_value
-    return pa.array(out, type=pa.string())
+        out = pc.fill_null(out, none_value)
+    return out
 
 
 class Enricher:
@@ -81,10 +82,21 @@ def enrich_dataset(
     ds,
     tool_categories: dict[str, str] | None = None,
     role_severities: dict[str, str] | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32768,
 ):
-    """Attach category/role_severity via a broadcast-lookup actor pool."""
+    """Attach category/role_severity via a broadcast-lookup actor pool.
+
+    concurrency=None sizes the pool to the cluster — a FIXED pool of
+    total_cpus/4 actors (min 2) — so the stateful stage neither caps pipeline
+    parallelism on a bigger cluster (a fixed pool of 4 holds the whole job to
+    4 cores) nor thrashes on autoscaling actor churn (each scale-up pays a
+    process spawn + import + state build while the queue stalls). The lookup
+    work per row is small relative to the parse stage, so a quarter of the
+    cluster keeps the stage off the critical path."""
+    if concurrency is None:
+        total = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, total // 4)
     kwargs = {}
     if tool_categories is not None:
         kwargs["tool_categories_ref"] = ray.put(dict(tool_categories))
