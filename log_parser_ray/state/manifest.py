@@ -18,7 +18,7 @@ mid-write left only a `.tmp` dir and no manifest line, so it reruns and the
 rename overwrites — idempotent, so retries never double-write (§4 "Resumable
 sinks"). The manifest append itself is a single O_APPEND write of one line,
 safe for concurrent writers on one node; on a multi-node cluster each node
-appends to its own shard file (manifest-<node>.jsonl) and readers glob.
+appends to its own shard file (_manifest-<node>.jsonl) and readers glob.
 """
 
 from __future__ import annotations
@@ -63,13 +63,15 @@ class RunManifest:
     def __init__(self, run_dir: str, shard: str = "0"):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
-        self.path = os.path.join(run_dir, f"manifest-{shard}.jsonl")
+        # leading underscore: Arrow/Spark dataset discovery ignores the file,
+        # so the manifest can live inside the output root it describes
+        self.path = os.path.join(run_dir, f"_manifest-{shard}.jsonl")
 
     def completed(self) -> dict[str, dict]:
         """partition → latest record with status=done (last line wins)."""
         done: dict[str, dict] = {}
         for name in sorted(os.listdir(self.run_dir)):
-            if not name.startswith("manifest-") or not name.endswith(".jsonl"):
+            if not name.startswith("_manifest-") or not name.endswith(".jsonl"):
                 continue
             with open(os.path.join(self.run_dir, name)) as f:
                 for line in f:
