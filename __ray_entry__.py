@@ -279,6 +279,67 @@ def q_top_customers(sf_dir: str):
     return totals
 
 
+def q_argmax_rt_per_conv(sf_dir: str):
+    """AG2 argmax-per-group: the slowest tool-call ROW of each conversation
+    (webErrorLogParser.sh:361-379 max-bsy-record shape)."""
+    from log_parser_ray.stages.aggregate import argmax_by
+
+    ds = _keep(_parsed(sf_dir), "rt_us").select_columns(
+        ["conv_id", "turn_idx", "tool_name", "rt_us"]
+    )
+    return argmax_by(ds, ["conv_id"], ["rt_us", "turn_idx"], [True, False])
+
+
+def q_distinct_convs_by_tool_hour(sf_dir: str):
+    """D2 multi-key distinct: conversations per (tool_name, hour)."""
+    ds = _keep(_parsed(sf_dir), "tool_name")
+    return distinct_count(ds, ["tool_name", "hour"], "conv_id", alias="n_convs")
+
+
+def q_tool_error_hour_join(sf_dir: str):
+    """J3 hash join of two per-key aggregate streams on an exact composite
+    key (mpmstats rdy⋈bsy, webErrorLogParser.sh:280-288): tool-turn counts
+    LEFT JOIN error-turn counts per (conv_id, hour); missing side → 0."""
+    parsed = _parsed(sf_dir)
+    tools = grouped_count(
+        _keep(parsed, "tool_name"), ["conv_id", "hour"], alias="n_tools"
+    ).to_pandas()
+    errors = grouped_count(
+        _keep(parsed, "error_code"), ["conv_id", "hour"], alias="n_errors"
+    ).to_pandas()
+    out = tools.merge(errors, on=["conv_id", "hour"], how="left")
+    out["n_errors"] = out["n_errors"].fillna(0).astype("int64")
+    return out
+
+
+def q_reassembled_sessions(sf_dir: str):
+    """ST5 multi-turn record reassembly (the GC `{Heap before GC…}` state
+    machine, javaGCStatsParser.sh:158-283): login turns become BEGIN_BLOCK
+    markers, logout turns END_BLOCK, and per-conversation ordered reassembly
+    emits one row per completed block with the joined payload."""
+    tr = _transcripts(sf_dir)
+
+    def mark(t, _pc=pc):
+        import pyarrow as pa
+
+        login = _pc.extract_regex(t["text"], r"login uid=(?P<u>\w+)")
+        uid = _pc.struct_field(login, "u")
+        begin = _pc.binary_join_element_wise("BEGIN_BLOCK id=", _pc.cast(uid, pa.string()), "")
+        marked = _pc.if_else(
+            _pc.is_valid(uid),
+            begin,
+            _pc.if_else(
+                _pc.fill_null(_pc.match_substring(t["text"], " logout"), False),
+                "END_BLOCK",
+                t["text"],
+            ),
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", marked)
+
+    marked = tr.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+    return sess.reassemble_blocks(marked)
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis / multimodal
 # (documents + embeddings tables; SURVEY.md §7 extension family)
@@ -418,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_turn_per_conv": q_last_turn_per_conv,
         "canonical_error_counts": q_canonical_error_counts,
         "grand_totals": q_grand_totals,
+        "argmax_rt_per_conv": q_argmax_rt_per_conv,
+        "distinct_convs_by_tool_hour": q_distinct_convs_by_tool_hour,
+        "tool_error_hour_join": q_tool_error_hour_join,
+        "reassembled_sessions": q_reassembled_sessions,
         "events_value_stats": q_events_value_stats,
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
@@ -539,6 +604,48 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY o_custkey
             ORDER BY total_cents DESC, o_custkey LIMIT 10""",
+        "argmax_rt_per_conv": P
+        + """SELECT conv_id, turn_idx, tool_name, rt_us FROM parsed
+             WHERE rt_us IS NOT NULL
+             QUALIFY row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY rt_us DESC, turn_idx) = 1""",
+        "distinct_convs_by_tool_hour": P
+        + """SELECT tool_name, hour, COUNT(DISTINCT conv_id) AS n_convs
+             FROM parsed WHERE tool_name IS NOT NULL GROUP BY tool_name, hour""",
+        "tool_error_hour_join": P
+        + """SELECT t.conv_id, t.hour, t.n_tools, COALESCE(e.n_errors, 0) AS n_errors
+             FROM (SELECT conv_id, hour, COUNT(*) AS n_tools FROM parsed
+                   WHERE tool_name IS NOT NULL GROUP BY conv_id, hour) t
+             LEFT JOIN (SELECT conv_id, hour, COUNT(*) AS n_errors FROM parsed
+                        WHERE error_code IS NOT NULL GROUP BY conv_id, hour) e
+               ON t.conv_id = e.conv_id AND t.hour = e.hour""",
+        "reassembled_sessions": P
+        + r""", marked AS (
+               SELECT conv_id, turn_idx,
+                 CASE WHEN NULLIF(regexp_extract(text, 'login uid=(\w+)', 1), '') IS NOT NULL
+                        THEN 'BEGIN_BLOCK id=' || regexp_extract(text, 'login uid=(\w+)', 1)
+                      WHEN contains(text, ' logout') THEN 'END_BLOCK'
+                      ELSE text END AS text
+               FROM transcripts),
+             begins AS (SELECT conv_id, turn_idx AS b, substr(text, 16) AS block_id
+                        FROM marked WHERE text LIKE 'BEGIN_BLOCK id=%'),
+             ends AS (SELECT conv_id, turn_idx AS e FROM marked WHERE text = 'END_BLOCK'),
+             pairs AS (
+               SELECT bg.conv_id, bg.b, bg.block_id, MIN(en.e) AS e
+               FROM begins bg JOIN ends en
+                 ON en.conv_id = bg.conv_id AND en.e > bg.b
+               GROUP BY 1, 2, 3),
+             blocks AS (
+               SELECT conv_id, e AS end_turn, MAX(b) AS start_turn,
+                      arg_max(block_id, b) AS block_id
+               FROM pairs GROUP BY conv_id, e)
+             SELECT bl.conv_id, bl.block_id, bl.start_turn, bl.end_turn,
+                    COUNT(*) AS n_lines,
+                    string_agg(m.text, chr(10) ORDER BY m.turn_idx) AS payload
+             FROM blocks bl JOIN marked m
+               ON m.conv_id = bl.conv_id
+              AND m.turn_idx BETWEEN bl.start_turn AND bl.end_turn
+             GROUP BY 1, 2, 3, 4""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,

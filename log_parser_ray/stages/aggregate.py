@@ -187,6 +187,39 @@ def top_k(
     return ds.sort(by, descending=descending).limit(k)
 
 
+def argmax_by(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    descending: Sequence[bool],
+):
+    """Per-key argmax ROW (AG2 — the mpmstats record with max bsy per server,
+    webErrorLogParser.sh:361-379): returns every column of the winning row.
+
+    Two-phase like the other aggregates: per block, sort + ordered
+    group_by('first') picks the local winner per key (one row per key per
+    block into the shuffle); after the range sort on keys the same pick runs
+    once per block for the global winner. Trailing order_by columns must
+    make the ordering total for determinism (e.g. a turn_idx tiebreak)."""
+    keys = list(keys)
+    sort_spec = [(k, "ascending") for k in keys] + [
+        (c, "descending" if d else "ascending") for c, d in zip(order_by, descending)
+    ]
+
+    def pick(b: pa.Table) -> pa.Table:
+        val_cols = [c for c in b.column_names if c not in keys]
+        b = b.sort_by(sort_spec)
+        out = b.group_by(keys, use_threads=False).aggregate(
+            [(c, "first") for c in val_cols]
+        )
+        return out.rename_columns(
+            [c[: -len("_first")] if c.endswith("_first") else c for c in out.column_names]
+        )
+
+    partial = _mb(ds, pick, batch_size=COMBINE_ROWS)
+    return _mb(partial.sort(keys), pick)
+
+
 def pivot_counts(
     counts: "ray.data.Dataset",
     row_key: str,
