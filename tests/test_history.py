@@ -1,0 +1,29 @@
+"""History sink (IO5): idempotent per-date append semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from log_parser_ray.state.history import append_history, read_history
+
+
+def test_append_and_read(tmp_path):
+    root = str(tmp_path)
+    append_history(root, "sink_counts", "2024-01-01",
+                   pd.DataFrame({"sink": ["errors", "tools"], "n": [5, 7]}))
+    append_history(root, "sink_counts", "2024-01-02",
+                   pd.DataFrame({"sink": ["errors"], "n": [3]}))
+    hist = read_history(root, "sink_counts")
+    assert len(hist) == 3
+    assert set(hist["date"]) == {"2024-01-01", "2024-01-02"}
+
+
+def test_rerun_same_date_is_idempotent(tmp_path):
+    root = str(tmp_path)
+    df = pd.DataFrame({"sink": ["errors"], "n": [5]})
+    append_history(root, "r", "2024-01-01", df)
+    append_history(root, "r", "2024-01-01", df)  # retry/resume: no double row
+    append_history(root, "r", "2024-01-01", pd.DataFrame({"sink": ["errors"], "n": [9]}))
+    hist = read_history(root, "r")
+    assert len(hist) == 1
+    assert hist["n"].iloc[0] == 9  # last write wins, exactly one row
