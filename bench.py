@@ -74,7 +74,7 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
         )
     out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
     t0 = time.perf_counter()
-    res = flagship.run(tr, out_dir=out_dir, enrich_concurrency=4)
+    res = flagship.run(tr, out_dir=out_dir)
     wall = time.perf_counter() - t0
     return {"rows": res["rows"], "wall_s": wall}
 
@@ -131,14 +131,15 @@ def _warmup(num_cpus: int):
     ).materialize()
 
 
-def single_run(sf_dir: str, num_cpus: int, flagship_only: bool, repeat: int = 1) -> dict:
+def single_run(sf_dir: str, num_cpus: int, flagship_only: bool, repeat: int = 1,
+               stage: bool = False) -> dict:
     _init_ray(num_cpus)
     sys.path.insert(0, REPO)
     _warmup(num_cpus)
     t0 = time.perf_counter()
-    fr = run_flagship(sf_dir, repeat=repeat)
-    queries = {"flagship": round(fr["wall_s"], 3)}
-    if not flagship_only:
+    fr = run_stage_bench(sf_dir, repeat) if stage else run_flagship(sf_dir, repeat=repeat)
+    queries = {("minhash_stage" if stage else "flagship"): round(fr["wall_s"], 3)}
+    if not flagship_only and not stage:
         queries.update(run_queries(sf_dir))
     total = time.perf_counter() - t0
     result = {
@@ -157,7 +158,44 @@ def single_run(sf_dir: str, num_cpus: int, flagship_only: bool, repeat: int = 1)
     return result
 
 
-def scaling(sf_dir: str, lo: int, hi: int, repeat: int = 8, attempts: int = 3) -> dict:
+def run_stage_bench(sf_dir: str, repeat: int) -> dict:
+    """Compute-dense stage workload: MinHash signatures over the documents
+    table replicated ×repeat in-batch. Hash arithmetic per byte is high and
+    the stage's object-store output is ~512 B/doc, so this isolates CPU
+    scaling from the single-box shared-memory bandwidth that caps the full
+    flagship (see BASELINE.md §scaling)."""
+    import pyarrow as pa
+
+    import ray.data
+    from log_parser_ray.stages.dedup import minhash_signatures
+
+    import ray
+
+    n_blocks = int(ray.cluster_resources().get("CPU", 8)) * 4
+    # override_num_blocks: the 500-row file would otherwise be ONE block and
+    # the fused read->replicate->minhash chain ONE task (single core)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=n_blocks,
+    )
+
+    def replicate(t, n=repeat):
+        return pa.concat_tables([t] * n)
+
+    # materialize the fan-out: otherwise Ray fuses read->replicate->minhash
+    # into the single read task and the whole stage runs on one core
+    reps = docs.map_batches(
+        replicate, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
+    ).materialize()
+    t0 = time.perf_counter()
+    n = minhash_signatures(reps).count()
+    wall = time.perf_counter() - t0
+    return {"rows": n, "wall_s": wall}
+
+
+def scaling(sf_dir: str, lo: int, hi: int, repeat: int = 8, attempts: int = 3,
+            stage: bool = False) -> dict:
     """Fresh-process runs at two parallelism levels → scaling efficiency.
 
     Each level runs ``attempts`` times and keeps the fastest: this sandbox is
@@ -172,7 +210,7 @@ def scaling(sf_dir: str, lo: int, hi: int, repeat: int = 8, attempts: int = 3) -
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--single-run", "--cpus", str(n), "--sf", sf_dir,
-                 "--repeat", str(repeat)],
+                 "--repeat", str(repeat)] + (["--stage"] if stage else []),
                 capture_output=True, text=True, env=env, cwd=REPO, check=True,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -184,7 +222,7 @@ def scaling(sf_dir: str, lo: int, hi: int, repeat: int = 8, attempts: int = 3) -
     tp_hi = runs[hi]["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
-        "metric": "flagship scaling efficiency (fresh ray sessions, same input)",
+        "metric": ("minhash-stage" if stage else "flagship") + " scaling efficiency (fresh ray sessions, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_dir,
@@ -192,7 +230,7 @@ def scaling(sf_dir: str, lo: int, hi: int, repeat: int = 8, attempts: int = 3) -
             str(n): {
                 "num_cpus": n,
                 "turns_per_sec": runs[n]["turns_per_sec"],
-                "flagship_s": runs[n]["queries"]["flagship"],
+                "wall_s": runs[n]["value"],
                 "rows": runs[n]["rows"],
             }
             for n in (lo, hi)
@@ -213,14 +251,19 @@ def main() -> int:
                     help="internal: flagship only, used by --scaling subprocesses")
     ap.add_argument("--repeat", type=int, default=1,
                     help="union the input N times (scaling runs need length)")
+    ap.add_argument("--attempts", type=int, default=3,
+                    help="scaling: best-of-N runs per CPU level")
+    ap.add_argument("--stage", action="store_true",
+                    help="bench the compute-dense minhash stage instead of flagship")
     args = ap.parse_args()
 
     if args.scaling:
         print(json.dumps(scaling(args.sf, args.scaling_lo, args.scaling_hi,
-                                 repeat=args.repeat if args.repeat > 1 else 8)))
+                                 repeat=args.repeat if args.repeat > 1 else 8,
+                                 attempts=args.attempts, stage=args.stage)))
         return 0
     result = single_run(args.sf, args.cpus, flagship_only=args.single_run,
-                        repeat=args.repeat)
+                        repeat=args.repeat, stage=args.stage)
     print(json.dumps(result))
     return 0
 

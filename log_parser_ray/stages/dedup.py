@@ -232,7 +232,9 @@ def exact_jaccard_of_pairs(
 # MinHash + LSH
 
 
-def minhash_signatures(docs: "ray.data.Dataset", n_perm: int = N_PERM):
+def minhash_signatures(
+    docs: "ray.data.Dataset", n_perm: int = N_PERM, batch_size: int = 4096
+):
     """(doc_id, sig: fixed_size_list<uint64>[n_perm]) — vectorized per batch."""
     a, b = _perm_params(n_perm)
 
@@ -252,7 +254,9 @@ def minhash_signatures(docs: "ray.data.Dataset", n_perm: int = N_PERM):
         )
         return pa.table({"doc_id": t["doc_id"], "sig": sig_arr})
 
-    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
 
 
 def lsh_buckets(signatures: "ray.data.Dataset", bands: int = LSH_BANDS):

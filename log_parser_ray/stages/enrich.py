@@ -87,16 +87,18 @@ def enrich_dataset(
 ):
     """Attach category/role_severity via a broadcast-lookup actor pool.
 
-    concurrency=None sizes the pool to the cluster — a FIXED pool of
-    total_cpus/4 actors (min 2) — so the stateful stage neither caps pipeline
-    parallelism on a bigger cluster (a fixed pool of 4 holds the whole job to
-    4 cores) nor thrashes on autoscaling actor churn (each scale-up pays a
-    process spawn + import + state build while the queue stalls). The lookup
-    work per row is small relative to the parse stage, so a quarter of the
-    cluster keeps the stage off the critical path."""
+    concurrency=None sizes the pool to the cluster: a FIXED pool of
+    3/4 × total_cpus actors (min 1) — proportional at every cluster size. Ray FUSES the upstream stateless map
+    chain (compose → parse) into this actor-pool operator, so the pool
+    carries the pipeline's entire per-row compute — sizing it to a small
+    fraction of the cluster throttles the whole job to that fraction
+    (measured: pool=total/4 capped a 16-CPU flagship at ~4 cores). Spare
+    CPUs are left free so reader/writer tasks are never starved by the
+    actors' standing reservations; a fixed size avoids autoscaling churn
+    (each scale-up pays process spawn + import while the queue stalls)."""
     if concurrency is None:
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, total // 4)
+        concurrency = max(1, (total * 3) // 4)
     kwargs = {}
     if tool_categories is not None:
         kwargs["tool_categories_ref"] = ray.put(dict(tool_categories))
