@@ -405,6 +405,15 @@ def q_minhash_near_dups(sf_dir: str):
     )
 
 
+def q_minhash_clusters(sf_dir: str):
+    """Scalable LSH dedup: near-dup clusters via verified bucket edges +
+    connected components (rows-only; tests pin cluster membership)."""
+    return ddp.minhash_clusters(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.9,
+    )
+
+
 def q_simhash_fingerprints(sf_dir: str):
     """64-bit SimHash per doc (rows-only; tests pin determinism + locality)."""
     return textops.simhash64(
@@ -492,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_clusters": q_minhash_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_near_dups": q_cosine_near_dups,
         "knn_cosine": q_knn_cosine,

@@ -5,10 +5,12 @@ Prints ONE JSON line::
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": "...", "num_cpus": N, "turns_per_sec": ...}
 
-``--scaling`` runs the flagship parse→enrich→route→aggregate pipeline twice in
-FRESH processes (fresh ray.init sessions) at num_cpus=8 and num_cpus=32 on the
-same input and reports both throughputs plus scaling efficiency — the sandbox
-stand-in for the north rule's N vs 4N cluster-size criterion (BASELINE.md §scaling).
+``--scaling`` runs the flagship parse→enrich→route→aggregate pipeline at two
+parallelism levels (default num_cpus=4 vs 16, N vs 4N) in FRESH processes on
+the same input and reports both throughputs plus scaling efficiency — the
+sandbox stand-in for the north rule's cluster-size criterion. ``--scaling
+--stage`` does the same for the compute-dense MinHash stage (the regime not
+bounded by the single-box shared object store — BASELINE.md §Measured).
 """
 
 from __future__ import annotations
@@ -88,7 +90,7 @@ BENCH_QUERIES = [
     "session_durations",
     "asof_error_tool",
     "exact_dedup",
-    "minhash_near_dups",
+    "minhash_clusters",
     "text_quality",
     "knn_cosine",
     "lineitem_pricing",
@@ -245,12 +247,12 @@ def main() -> int:
     ap.add_argument("--sf", default=DEFAULT_SF)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-lo", type=int, default=8)
-    ap.add_argument("--scaling-hi", type=int, default=32)
+    ap.add_argument("--scaling-lo", type=int, default=4)
+    ap.add_argument("--scaling-hi", type=int, default=16)
     ap.add_argument("--single-run", action="store_true",
                     help="internal: flagship only, used by --scaling subprocesses")
-    ap.add_argument("--repeat", type=int, default=1,
-                    help="union the input N times (scaling runs need length)")
+    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_REPEAT", "8")),
+                    help="replicate the input N times in-batch (runs need length)")
     ap.add_argument("--attempts", type=int, default=3,
                     help="scaling: best-of-N runs per CPU level")
     ap.add_argument("--stage", action="store_true",
@@ -258,9 +260,10 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.scaling:
+        rep = args.repeat if args.repeat > 8 else (256 if args.stage else 96)
         print(json.dumps(scaling(args.sf, args.scaling_lo, args.scaling_hi,
-                                 repeat=args.repeat if args.repeat > 1 else 8,
-                                 attempts=args.attempts, stage=args.stage)))
+                                 repeat=rep, attempts=args.attempts,
+                                 stage=args.stage)))
         return 0
     result = single_run(args.sf, args.cpus, flagship_only=args.single_run,
                         repeat=args.repeat, stage=args.stage)

@@ -154,3 +154,16 @@ def test_quality_stats_values(ray_session):
     assert out["n_words"].tolist() == [4, 3, 0]
     assert out["n_stopwords"].tolist() == [1, 3, 0]  # 'the'; 'a' ×3
     assert out["stop_ratio"].tolist() == [0.25, 1.0, 0.0]
+
+
+def test_minhash_clusters(ray_session):
+    texts = [BASE, NEAR, FAR, BASE, "the quick brown fox", FAR + " extra words here"]
+    ds = docs_ds(texts)
+    out = ddp.minhash_clusters(ds, threshold=0.8)
+    assert sorted(out.columns) == ["cluster_id", "cluster_size", "doc_id"]
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[0] == lab[3]  # identical docs share a cluster
+    assert lab[0] == lab[1]  # near-identical joins it
+    assert lab[2] != lab[0]  # unrelated doc stays apart
+    # every doc labeled exactly once
+    assert sorted(out["doc_id"]) == list(range(len(texts)))
