@@ -340,6 +340,39 @@ def q_reassembled_sessions(sf_dir: str):
     return sess.reassemble_blocks(marked)
 
 
+def q_part_type_revenue(sf_dir: str):
+    """Broadcast join on the LARGE fact table (J1 shape at scale): the small
+    part dimension ships once into every map task via closure capture
+    (ray.put under the hood), the 600k-row lineitem streams; revenue in
+    integer cents so summation order can't change the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    type_of = dict(zip(part["p_partkey"].to_pylist(), part["p_type"].to_pylist()))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def enrich(t, lookup=type_of):
+        enc = t["l_partkey"].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        mapped = pa.array([lookup.get(k, "UNKNOWN") for k in uniq], pa.string())
+        ptype = mapped.take(enc.indices)
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pc.cast(1.0, "double"), t["l_discount"]),
+        )
+        return pa.table({"p_type": ptype, "revenue": rev})
+
+    ds = li.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_stats(ds, ["p_type"], "revenue", count="n_items", sum_="rev").to_pandas()
+    out["revenue_cents"] = np.round(out["rev"] * 100).astype("int64")
+    return out.drop(columns=["rev"])
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis / multimodal
 # (documents + embeddings tables; SURVEY.md §7 extension family)
@@ -495,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": q_events_value_stats,
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
+        "part_type_revenue": q_part_type_revenue,
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
@@ -656,6 +690,12 @@ def oracle_sql() -> dict[str, str]:
                ON m.conv_id = bl.conv_id
               AND m.turn_idx BETWEEN bl.start_turn AND bl.end_turn
              GROUP BY 1, 2, 3, 4""",
+        "part_type_revenue": """
+            SELECT p_type, COUNT(*) AS n_items,
+                   CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,

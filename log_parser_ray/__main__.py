@@ -1,0 +1,85 @@
+"""Job entry point — ``ray job submit -- python -m log_parser_ray …``.
+
+The S1 CLI analogue (usage.sh:59-183): argument parsing/validation lives in
+the driver; the pipeline itself is the flagship DAG or its partitioned,
+resumable variant. Owns the Ray session (guarded init — under ``ray job
+submit`` the cluster connection already exists).
+
+    python -m log_parser_ray --input /data/transcripts --out /out/run1
+    python -m log_parser_ray --events-sf /root/testdata/sf0.01 --out /tmp/r \
+        --partitioned --buckets 8 --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="log_parser_ray")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="transcript Parquet path/dir (conv_id, turn_idx, role, text, tool, ts)")
+    src.add_argument("--events-sf", help="testdata sf dir: derive transcripts from events.parquet")
+    ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
+    ap.add_argument("--partitioned", action="store_true",
+                    help="resumable per-conv-bucket run with lineage manifest")
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="partitioned mode: recompute even completed partitions")
+    ap.add_argument("--enrich-concurrency", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    if args.input:
+        from log_parser_ray.sources.transcripts import read_transcripts
+
+        transcripts = read_transcripts(args.input)
+    else:
+        from log_parser_ray.sources.transcripts import transcripts_from_events
+
+        transcripts = transcripts_from_events(args.events_sf)
+
+    if args.partitioned:
+        from log_parser_ray.pipelines.partitioned import run_partitioned
+
+        results = run_partitioned(
+            transcripts,
+            args.out,
+            n_buckets=args.buckets,
+            resume=not args.no_resume,
+            enrich_concurrency=args.enrich_concurrency,
+        )
+        print(json.dumps({"partitions": results}, sort_keys=True))
+    else:
+        from log_parser_ray.pipelines import flagship
+
+        res = flagship.run(
+            transcripts, args.out, enrich_concurrency=args.enrich_concurrency
+        )
+        print(
+            json.dumps(
+                {
+                    "rows": res["rows"],
+                    "out_dir": res["out_dir"],
+                    "sink_counts": dict(
+                        zip(res["sink_counts"]["sink"], map(int, res["sink_counts"]["n"]))
+                    ),
+                    "n_alerts": int(len(res["alerts"])),
+                },
+                sort_keys=True,
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
