@@ -58,6 +58,8 @@ def run(
     partition: str = "all",
     manifest: RunManifest | None = None,
     enrich_concurrency=None,
+    history_root: str | None = None,
+    run_date: str | None = None,
 ) -> dict:
     """Execute the full DAG; returns small pandas aggregate tables + row count.
 
@@ -136,6 +138,15 @@ def run(
         "alerts": alerts.sort_values("key").reset_index(drop=True) if len(alerts) else alerts,
         "rows": rows,
     }
+
+    if history_root is not None and run_date is not None:
+        # IO5: append this run's summary rows to the long-lived history
+        # sinks, idempotently per date (a rerun of the same day replaces it)
+        from log_parser_ray.state.history import append_history
+
+        append_history(history_root, "sink_counts", run_date, result["sink_counts"])
+        append_history(history_root, "hourly", run_date, result["hourly"])
+        append_history(history_root, "alerts", run_date, result["alerts"])
 
     if manifest is not None:
         manifest.append(

@@ -27,3 +27,21 @@ def test_rerun_same_date_is_idempotent(tmp_path):
     hist = read_history(root, "r")
     assert len(hist) == 1
     assert hist["n"].iloc[0] == 9  # last write wins, exactly one row
+
+
+def test_flagship_appends_history(ray_session, sf_dir, tmp_path):
+    from log_parser_ray.pipelines import flagship
+    from log_parser_ray.sources.transcripts import transcripts_from_events
+
+    tr = transcripts_from_events(sf_dir)
+    hroot = str(tmp_path / "hist")
+    r1 = flagship.run(tr, str(tmp_path / "d1"), enrich_concurrency=2,
+                      history_root=hroot, run_date="2024-01-01")
+    flagship.run(tr, str(tmp_path / "d2"), enrich_concurrency=2,
+                 history_root=hroot, run_date="2024-01-02")
+    # rerun day 1: history must not double-append
+    flagship.run(tr, str(tmp_path / "d3"), enrich_concurrency=2,
+                 history_root=hroot, run_date="2024-01-01")
+    hist = read_history(hroot, "sink_counts")
+    assert set(hist["date"]) == {"2024-01-01", "2024-01-02"}
+    assert len(hist) == 2 * len(r1["sink_counts"])
