@@ -3,22 +3,21 @@
 with per-partition lineage metrics.
 
     read_parquet(transcripts)                 # pruned scan
-      → parse_dataset (stateless tasks)      # grok/regex extract + sink column
-      → enrich_dataset (actor pool)          # broadcast lookups
-      → write_sinks (partitioned fan-out)    # routed rows, one dir per sink
-      → aggregate suite (two-phase shuffles) # per-sink counts, hourly, top-k
+      → parse_dataset (stateless maps)       # grok/regex extract + sink column
+      → enrich_dataset (actor pool)          # broadcast lookups — Ray fuses the
+                                             #   parse maps into this pool
+      → materialize routed table ONCE        # object-store blocks, spill-backed
+      → CONCURRENTLY from those blocks:      # driver threads; zero-copy reads
+          write_sinks (partitioned fan-out)  # routed rows, one dir per sink
+          aggregate suite (two-phase shuffles)  # per-sink counts, hourly, top-k
       → threshold alerts (broadcast join)
+      → optional history append + manifest   # IO5/S5
 
-The input is parsed EXACTLY ONCE: the routed fan-out is written first, and all
-aggregates run over the written per-sink Parquet — the same pattern the
-reference uses (one AWK pass emits the parsed table + side files; sort/top-k
-passes read the temp files, webAccessLogParser.sh:1300-1513) and the one that
-scales: at 100 TB you never re-run the regex pass per report. The re-read is
-ONE scan pruned to the union of aggregate columns (7 narrow columns of the
-routed table), materialized once in the object store and shared by every
-aggregate — five separate read_parquet scans would re-pay listing + decode
-per report, and the pruned projection is a small fraction of the full table
-(spill handles the tail at extreme scale).
+The input is parsed EXACTLY ONCE — the reference's shape (one AWK pass emits
+the parsed table + side files; sort/top-k passes read the temp files,
+webAccessLogParser.sh:1300-1513) — and at 100 TB you never re-run the regex
+pass per report: every report consumes the same materialized blocks with a
+column-pruned projection.
 """
 
 from __future__ import annotations
