@@ -73,8 +73,10 @@ def knn_bruteforce(
             cand = np.nonzero(mask)[0]
             if len(cand) == 0:
                 continue
-            # local top-k: a row outside its block's top-k cannot be global top-k
-            top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+            # local top-k: a row outside its block's top-k cannot be global
+            # top-k; ties at the boundary break by vec_id ASC (the global
+            # tiebreak), else a dropped tied row could be the global pick
+            top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
             out_q.extend([query_ids[j]] * len(top))
             out_v.extend(ids[top])
             out_s.extend(s[top])
@@ -145,7 +147,7 @@ def knn_ivf(
             if len(cand) == 0:
                 continue
             s = m[cand] @ qn[j]
-            top = np.argsort(-s, kind="stable")[:k]
+            top = np.lexsort((ids[cand], -s))[:k]
             out_q.extend([query_ids[j]] * len(top))
             out_v.extend(ids[cand[top]])
             out_s.extend(s[top])
