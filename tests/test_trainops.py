@@ -167,3 +167,25 @@ def test_minhash_clusters(ray_session):
     assert lab[2] != lab[0]  # unrelated doc stays apart
     # every doc labeled exactly once
     assert sorted(out["doc_id"]) == list(range(len(texts)))
+
+
+def test_dedup_parallelism_invariance(ray_session):
+    """Same results at 1 block and 8 blocks — no dependence on block layout."""
+    texts = [BASE, NEAR, FAR, BASE, "the quick brown fox", FAR + " more", BASE + " x"]
+
+    def at(n_parts):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": texts})
+        ).repartition(n_parts)
+        return (
+            ddp.jaccard_pairs(ds, 0.8).reset_index(drop=True),
+            ddp.minhash_near_dups(ds, 0.8).reset_index(drop=True),
+            ddp.exact_dedup(ds).to_pandas().sort_values("fp").reset_index(drop=True),
+            ddp.minhash_clusters(ds, 0.8).reset_index(drop=True),
+        )
+
+    one = at(1)
+    eight = at(8)
+    for a, b in zip(one, eight):
+        pd.testing.assert_frame_equal(a, b)
