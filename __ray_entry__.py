@@ -340,6 +340,22 @@ def q_reassembled_sessions(sf_dir: str):
     return sess.reassemble_blocks(marked)
 
 
+def q_windowed_sink_counts(sf_dir: str):
+    """Tumbling-window aggregate (the batch analogue of the reference's hour
+    buckets, webAccessLogParser.sh:314,730, generalized): 15-minute windows
+    keyed by floor(epoch/900) — window id is derived per row (no shuffle
+    beyond the final combine), so late/out-of-order rows land correctly."""
+    import pyarrow as pa
+
+    def windowize(t):
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch_s, pa.float64()), 900.0)), 900.0)
+        return t.append_column("window_start_s", pc.cast(win, pa.int64()))
+
+    ds = _parsed(sf_dir).map_batches(windowize, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(ds, ["window_start_s", "sink"], alias="n")
+
+
 def q_part_type_revenue(sf_dir: str):
     """Broadcast join on the LARGE fact table (J1 shape at scale): the small
     part dimension ships once into every map task via closure capture
@@ -529,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
         "part_type_revenue": q_part_type_revenue,
+        "windowed_sink_counts": q_windowed_sink_counts,
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
@@ -690,6 +707,10 @@ def oracle_sql() -> dict[str, str]:
                ON m.conv_id = bl.conv_id
               AND m.turn_idx BETWEEN bl.start_turn AND bl.end_turn
              GROUP BY 1, 2, 3, 4""",
+        "windowed_sink_counts": P
+        + """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS window_start_s,
+                    sink, COUNT(*) AS n
+             FROM parsed GROUP BY 1, 2""",
         "part_type_revenue": """
             SELECT p_type, COUNT(*) AS n_items,
                    CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
