@@ -490,6 +490,45 @@ def q_knn_ivf(sf_dir: str):
     return sim.knn_ivf(_embeddings(sf_dir), qids, qm, cents, k=5, nprobe=3)
 
 
+def q_curate_report(sf_dir: str):
+    """Training-data curation pipeline end-to-end: exact dedup → near-dup
+    cluster representative → quality filter → per-doc disposition (rows-only;
+    tests pin each disposition class)."""
+    from log_parser_ray.pipelines import curate
+
+    res = curate.run(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        near_threshold=0.9,
+        min_words=20,
+        max_stop_ratio=0.6,
+    )
+    return res["dispositions"]
+
+
+def q_text_knn(sf_dir: str):
+    """Text → embedding (actor-pool feature hashing) → brute-force cosine
+    top-5 per query doc (rows-only; embedder + kNN pinned by tests)."""
+    from log_parser_ray.stages.embed import embed_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = embed_documents(docs).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    import pyarrow.parquet as pq
+
+    qdocs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 3)
+    from log_parser_ray.stages.embed import HashEmbedder
+
+    qt = HashEmbedder()(qdocs)
+    qids = qt["doc_id"].to_numpy()
+    qm = sim._to_matrix(qt["embedding"])
+    out = sim.knn_bruteforce(emb, qids, qm, k=5)
+    return out
+
+
 def q_blob_features(sf_dir: str):
     """Multimodal plumbing: binary blobs → actor-pool feature extraction
     (decode stubbed deterministically; rows-only)."""
@@ -558,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "blob_features": q_blob_features,
+        "curate_report": q_curate_report,
+        "text_knn": q_text_knn,
     }
 
 

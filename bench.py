@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "minhash_clusters",
     "text_quality",
     "knn_cosine",
+    "curate_report",
     "lineitem_pricing",
 ]
 

@@ -1,0 +1,67 @@
+"""Text embedding stage — actor pool, batched inference shape.
+
+``HashEmbedder`` implements the feature-hashing trick (token → stable hash →
+bucket ± sign, L2-normalized): a real, deterministic, dependency-free text
+embedding, AND the stand-in for a model embedder — a sentence-transformer
+would load in ``__init__`` (once per actor) and replace ``__call__``'s
+arithmetic with a batched forward pass; the Ray plumbing (actor pool,
+batch sizing, fixed-size-list output) is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from log_parser_ray.stages.textops import WORD_RE
+
+EMBED_DIM = 64
+
+
+class HashEmbedder:
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+        self._word = re.compile(WORD_RE)
+        self._cache: dict[str, tuple[int, int]] = {}  # token → (bucket, sign)
+
+    def _slot(self, tok: str) -> tuple[int, int]:
+        v = self._cache.get(tok)
+        if v is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            v = (h % self.dim, 1 if (h >> 63) else -1)
+            self._cache[tok] = v
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = np.zeros((t.num_rows, self.dim), dtype=np.float32)
+        for i, s in enumerate(t["text"].to_pylist()):
+            for tok in self._word.findall((s or "").lower()):
+                b, sign = self._slot(tok)
+                out[i, b] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        out /= norms
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), type=pa.float32()), self.dim
+        )
+        return pa.table({"doc_id": t["doc_id"], "embedding": emb})
+
+
+def embed_documents(
+    docs: "ray.data.Dataset", *, dim: int = EMBED_DIM, concurrency: int = 2,
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """(doc_id, text) → (doc_id, embedding) via the embedder actor pool."""
+    return docs.map_batches(
+        HashEmbedder,
+        fn_constructor_kwargs={"dim": dim},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -112,3 +112,96 @@ def blob_features(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+class Resize:
+    """Actor-pool stage: binary payload → resized binary payload + new dims.
+
+    Real plumbing (batch in/out schema, metadata columns, small batch
+    sizing for large payloads); the codec itself is stubbed: the fake
+    "resize" is a deterministic payload reduction to target_bytes =
+    width×height (a real PIL/libvips resample swaps into ``_resize_one``)."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.width = width
+        self.height = height
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        target = self.width * self.height
+        if len(payload) >= target:
+            return payload[:target]
+        reps = -(-target // max(1, len(payload)))
+        return (payload * reps)[:target]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = [self._resize_one(p) for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "blob_id": t["blob_id"],
+                "mime": t["mime"],
+                "payload": pa.array(out, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in out], pa.int64()),
+                "width": pa.array([self.width] * len(out), pa.int32()),
+                "height": pa.array([self.height] * len(out), pa.int32()),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool FLAT stage: one video-ish blob → n_frames frame rows.
+
+    Output cardinality ≠ input cardinality (each blob explodes into frames)
+    — map_batches handles that naturally since a batch maps to a table of
+    any length. Frame extraction is stubbed as deterministic byte striding;
+    a real decoder (pyav etc.) swaps into ``_frames_of``."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def _frames_of(self, payload: bytes) -> list[bytes]:
+        if not payload:
+            return [b""] * self.n_frames
+        stride = max(1, len(payload) // self.n_frames)
+        return [payload[i * stride : (i + 1) * stride] for i in range(self.n_frames)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frames, fidx = [], [], []
+        for bid, p in zip(t["blob_id"].to_pylist(), t["payload"].to_pylist()):
+            for i, f in enumerate(self._frames_of(p)):
+                ids.append(bid)
+                fidx.append(i)
+                frames.append(f)
+        return pa.table(
+            {
+                "blob_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+                "n_bytes": pa.array([len(f) for f in frames], pa.int64()),
+            }
+        )
+
+
+def resize_blobs(
+    blobs: "ray.data.Dataset", *, width=64, height=64, concurrency=2, batch_size=64
+) -> "ray.data.Dataset":
+    return blobs.map_batches(
+        Resize,
+        fn_constructor_kwargs={"width": width, "height": height},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def sample_frames(
+    blobs: "ray.data.Dataset", *, n_frames=4, concurrency=2, batch_size=64
+) -> "ray.data.Dataset":
+    return blobs.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

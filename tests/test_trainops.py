@@ -189,3 +189,62 @@ def test_dedup_parallelism_invariance(ray_session):
     eight = at(8)
     for a, b in zip(one, eight):
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedder_properties(ray_session):
+    from log_parser_ray.stages.embed import embed_documents
+
+    ds = docs_ds([BASE, BASE, NEAR, FAR])
+    out = embed_documents(ds, concurrency=2, batch_size=2).to_pandas()
+    embs = {d: np.asarray(e) for d, e in zip(out["doc_id"], out["embedding"])}
+    assert np.allclose(embs[0], embs[1])  # deterministic
+    assert np.allclose(np.linalg.norm(embs[0]), 1.0, atol=1e-5)
+    cos = lambda a, b: float(a @ b)
+    assert cos(embs[0], embs[2]) > cos(embs[0], embs[3])  # near > far
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    from log_parser_ray.stages.multimodal import (
+        resize_blobs, sample_frames, synth_blobs,
+    )
+
+    blobs = synth_blobs(docs_ds([BASE, NEAR, FAR]))
+    rz = resize_blobs(blobs, width=8, height=4).to_pandas()
+    assert (rz["n_bytes"] == 32).all()
+    assert (rz["width"] == 8).all() and (rz["height"] == 4).all()
+
+    fr = sample_frames(blobs, n_frames=4).to_pandas()
+    assert len(fr) == 3 * 4  # one row per (blob, frame)
+    assert set(fr["frame_idx"]) == {0, 1, 2, 3}
+    # determinism
+    fr2 = sample_frames(blobs, n_frames=4).to_pandas()
+    m1 = {(b, i): f for b, i, f in zip(fr["blob_id"], fr["frame_idx"], fr["frame"])}
+    m2 = {(b, i): f for b, i, f in zip(fr2["blob_id"], fr2["frame_idx"], fr2["frame"])}
+    assert m1 == m2
+
+
+def test_curate_pipeline(ray_session, tmp_path):
+    from log_parser_ray.pipelines import curate
+    import pyarrow.parquet as pq
+
+    texts = [
+        BASE,                     # 0: kept (first copy)
+        BASE,                     # 1: exact_dup of 0
+        NEAR,                     # 2: near_dup of 0 (jac ~0.93)
+        FAR,                      # 3: too short → low_quality
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma",  # 4: long unrelated → kept
+    ]
+    ds = docs_ds(texts)
+    out_dir = str(tmp_path / "curated")
+    res = curate.run(ds, out_dir, near_threshold=0.8, min_words=12,
+                     max_stop_ratio=1.0)
+    disp = dict(zip(res["dispositions"]["doc_id"], res["dispositions"]["disposition"]))
+    assert disp[0] == "kept"
+    assert disp[1] == "exact_dup"
+    assert disp[2] == "near_dup"
+    assert disp[3] == "low_quality"
+    assert disp[4] == "kept"
+    assert res["kept"] == 2
+    written = pq.read_table(out_dir).to_pandas()
+    assert sorted(written["doc_id"]) == [0, 4]
