@@ -1,0 +1,92 @@
+"""Raw text-log source — the reference's actual input format.
+
+The reference consumes plain/gzipped text logs discovered by filename date
+patterns (IO1: `find | egrep`, websphereLogParser.sh:92-93; IO2:
+unzip/gunzip, websphereLogParser.sh:107-114; IO3: server name from the file
+path, websphereLogParser.sh:120-121). Ray-native shape: ``read_binary_files``
+— ONE ROW PER FILE, the reference's own unit of work — then a vectorized
+in-task decompress + line split producing the transcript schema:
+
+    conv_id  = file stem (the source/server identity, IO3)
+    turn_idx = line number within the file (the file order the reference's
+               state machines depend on — exact because one task owns the
+               whole file; a task-local running counter over split blocks
+               would misnumber lines)
+    role     = "log", tool = null
+    text     = the raw line
+    ts       = epoch 0 (the parse stage extracts real timestamps downstream)
+
+so every downstream stage — parse, route, aggregate, sessions — runs
+unchanged on real log files. Parallelism = number of files (logs arrive as
+per-server daily rotations, so this matches the corpus shape; a single
+monster file would call for a byte-range split with line-boundary fixup).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _stem(path: str) -> str:
+    stem = os.path.basename(path)
+    for ext in (".gz", ".zip", ".log", ".txt"):
+        if stem.endswith(ext):
+            stem = stem[: -len(ext)]
+    return stem
+
+
+def read_raw_logs(paths, *, file_pattern: str | None = None) -> "ray.data.Dataset":
+    """Text/gz log files (or dirs of them) → transcript-schema Dataset.
+
+    ``file_pattern``: optional substring filter on file names — the IO1
+    date-predicate analogue (`find ... access_log.MMDDYY`)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                if file_pattern is None or file_pattern in name:
+                    files.append(os.path.join(p, name))
+        elif file_pattern is None or file_pattern in os.path.basename(p):
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no log files matched under {paths}")
+
+    raw = ray.data.read_binary_files(files, include_paths=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        convs, turns, texts = [], [], []
+        for path, payload in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            if payload[:2] == b"\x1f\x8b":
+                # magic-byte check, not extension: the reader already
+                # decompresses .gz it recognizes
+                payload = gzip.decompress(payload)
+            lines = payload.decode("utf-8", errors="replace").splitlines()
+            stem = _stem(path)
+            convs.extend([stem] * len(lines))
+            turns.append(np.arange(len(lines), dtype=np.int32))
+            texts.extend(lines)
+        n = len(texts)
+        return pa.table(
+            {
+                "conv_id": pa.array(convs, pa.string()),
+                "turn_idx": pa.array(
+                    np.concatenate(turns) if turns else np.array([], np.int32)
+                ),
+                "role": pa.array(["log"] * n, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "tool": pa.nulls(n, pa.string()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+            }
+        )
+
+    return raw.map_batches(explode, batch_format="pyarrow", batch_size=None)
