@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="transcript Parquet path/dir (conv_id, turn_idx, role, text, tool, ts)")
     src.add_argument("--events-sf", help="testdata sf dir: derive transcripts from events.parquet")
+    src.add_argument("--raw-logs", help="dir (or file) of plain/.gz text logs — the reference's input format")
+    ap.add_argument("--file-pattern", default=None,
+                    help="--raw-logs: substring filter on file names (date-rotation predicate)")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
                     help="resumable per-conv-bucket run with lineage manifest")
@@ -43,6 +46,10 @@ def main(argv=None) -> int:
         from log_parser_ray.sources.transcripts import read_transcripts
 
         transcripts = read_transcripts(args.input)
+    elif args.raw_logs:
+        from log_parser_ray.sources.rawlogs import read_raw_logs
+
+        transcripts = read_raw_logs(args.raw_logs, file_pattern=args.file_pattern)
     else:
         from log_parser_ray.sources.transcripts import transcripts_from_events
 
