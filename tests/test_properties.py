@@ -1,0 +1,101 @@
+"""Property tests (hypothesis): the aggregate toolkit matches pandas ground
+truth on arbitrary key/value distributions, and routing is always a strict
+partition of rows, for any text content."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+from log_parser_ray.schema import SINKS
+from log_parser_ray.stages.aggregate import distinct_count, grouped_count, grouped_stats
+from log_parser_ray.stages.parse import make_parser
+
+_slow = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys_st = st.lists(
+    st.sampled_from(["a", "b", "c", "hot", "x1", "x2"]), min_size=1, max_size=300
+)
+vals_st = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=300)
+
+
+@_slow
+@given(keys=keys_st, data=st.data())
+def test_grouped_count_matches_pandas(ray_session, keys, data):
+    df = pd.DataFrame({"k": keys})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = grouped_count(ds, ["k"], alias="n").to_pandas().sort_values("k").reset_index(drop=True)
+    want = df.groupby("k").size().reset_index(name="n")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@_slow
+@given(keys=keys_st)
+def test_stats_and_distinct_match_pandas(ray_session, keys):
+    rs = np.random.RandomState(len(keys))
+    df = pd.DataFrame({"k": keys, "v": rs.randint(-50, 50, len(keys))})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        grouped_stats(ds, ["k"], "v", count="n", sum_="s", min_="mn", max_="mx")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k")
+        .agg(n=("v", "count"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    gd = distinct_count(ds, ["k"], "v", alias="nd").to_pandas().sort_values("k").reset_index(drop=True)
+    wd = df.groupby("k")["v"].nunique().reset_index(name="nd")
+    pd.testing.assert_frame_equal(gd, wd, check_dtype=False)
+
+
+texts_st = st.lists(
+    st.one_of(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80),
+        st.sampled_from(
+            [
+                "ERROR [WSVR0042E] thread hung for 99 ms",
+                '<tool_call name="search" status="ok" rt_us=5000000>',
+                "GET /x status=404",
+                "login uid=u9",
+                "anything CORBA.X.NO_RESPONSE here",
+                "",
+            ]
+        ),
+    ),
+    min_size=1,
+    max_size=100,
+)
+
+
+@_slow
+@given(texts=texts_st)
+def test_routing_is_total_partition(ray_session, texts):
+    """Every row — arbitrary unicode text included — lands in exactly one
+    known sink, and sink counts sum to the input size."""
+    n = len(texts)
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+    out = make_parser()(batch)
+    sinks = out["sink"].to_pylist()
+    assert len(sinks) == n
+    assert all(s in SINKS for s in sinks)
