@@ -340,6 +340,23 @@ def q_reassembled_sessions(sf_dir: str):
     return sess.reassemble_blocks(marked)
 
 
+def q_conv_avg_rt_ranking(sf_dir: str):
+    """K2/K5 semantics: rank groups by AVERAGE response time, top 10.
+
+    Exactness rule (SURVEY §7.5): keep sums+counts through the parallel
+    aggregation; divide once at the report edge, round 6dp — identical to
+    the serial oracle's division."""
+    stats = grouped_stats(
+        _keep(_parsed(sf_dir), "rt_us"), ["conv_id"], "rt_us",
+        count="n", sum_="sum_rt",
+    ).to_pandas()
+    stats["avg_rt_us"] = (stats["sum_rt"] / stats["n"]).round(6)
+    out = stats.sort_values(
+        ["avg_rt_us", "conv_id"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    return out[["conv_id", "n", "sum_rt", "avg_rt_us"]]
+
+
 def q_windowed_sink_counts(sf_dir: str):
     """Tumbling-window aggregate (the batch analogue of the reference's hour
     buckets, webAccessLogParser.sh:314,730, generalized): 15-minute windows
@@ -585,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "part_type_revenue": q_part_type_revenue,
         "windowed_sink_counts": q_windowed_sink_counts,
+        "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
@@ -748,6 +766,11 @@ def oracle_sql() -> dict[str, str]:
                ON m.conv_id = bl.conv_id
               AND m.turn_idx BETWEEN bl.start_turn AND bl.end_turn
              GROUP BY 1, 2, 3, 4""",
+        "conv_avg_rt_ranking": P
+        + """SELECT conv_id, COUNT(rt_us) AS n, SUM(rt_us) AS sum_rt,
+                    round(SUM(rt_us) * 1.0 / COUNT(rt_us), 6) AS avg_rt_us
+             FROM parsed WHERE rt_us IS NOT NULL GROUP BY conv_id
+             ORDER BY avg_rt_us DESC, conv_id LIMIT 10""",
         "windowed_sink_counts": P
         + """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS window_start_s,
                     sink, COUNT(*) AS n
