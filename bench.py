@@ -252,7 +252,7 @@ def main() -> int:
     ap.add_argument("--scaling-hi", type=int, default=16)
     ap.add_argument("--single-run", action="store_true",
                     help="internal: flagship only, used by --scaling subprocesses")
-    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_REPEAT", "8")),
+    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_REPEAT", "48")),
                     help="replicate the input N times in-batch (runs need length)")
     ap.add_argument("--attempts", type=int, default=3,
                     help="scaling: best-of-N runs per CPU level")
