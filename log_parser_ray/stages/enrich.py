@@ -88,7 +88,8 @@ def enrich_dataset(
     """Attach category/role_severity via a broadcast-lookup actor pool.
 
     concurrency=None sizes the pool to the cluster: a FIXED pool of
-    3/4 × total_cpus actors (min 1) — proportional at every cluster size. Ray FUSES the upstream stateless map
+    min(3/4 × total_cpus, 12 × n_nodes) actors (min 1) — proportional until
+    the per-node object-store writer cap. Ray FUSES the upstream stateless map
     chain (compose → parse) into this actor-pool operator, so the pool
     carries the pipeline's entire per-row compute — sizing it to a small
     fraction of the cluster throttles the whole job to that fraction
@@ -98,7 +99,12 @@ def enrich_dataset(
     (each scale-up pays process spawn + import while the queue stalls)."""
     if concurrency is None:
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, (total * 3) // 4)
+        n_nodes = max(1, len([n for n in ray.nodes() if n.get("Alive", True)]))
+        # per-node writer cap: beyond ~12 concurrent block writers a node's
+        # object store saturates and extra actors only contend (measured on
+        # 32 CPUs: pool 24 → 475k rows/s, pool 12 → 576k, pool 8 → 585k);
+        # a multi-node cluster gets 12 writers per node
+        concurrency = max(1, min((total * 3) // 4, 12 * n_nodes))
     kwargs = {}
     if tool_categories is not None:
         kwargs["tool_categories_ref"] = ray.put(dict(tool_categories))
