@@ -642,7 +642,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_bucket_counts": P
         + "SELECT rt_bucket, COUNT(*) AS n FROM parsed WHERE rt_bucket IS NOT NULL GROUP BY rt_bucket",
         "tool_rt_stats": P
-        + """SELECT tool_name, COUNT(rt_us) AS n, SUM(rt_us) AS sum_rt_us,
+        + """SELECT tool_name, COUNT(rt_us) AS n,
+                    CAST(SUM(rt_us) AS BIGINT) AS sum_rt_us,
                     MIN(rt_us) AS min_rt_us, MAX(rt_us) AS max_rt_us
              FROM parsed WHERE tool_name IS NOT NULL GROUP BY tool_name""",
         "topk_slowest_tools": P
@@ -666,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT hour, {pivot_cols} FROM parsed GROUP BY hour",
         "sink_pct": P
         + """SELECT sink, COUNT(*) AS n,
-                    round(100.0 * COUNT(*) / (SELECT COUNT(*) FROM parsed), 4) AS pct
+                    round_even(100.0 * COUNT(*) / (SELECT COUNT(*) FROM parsed), 4) AS pct
              FROM parsed GROUP BY sink""",
         "session_durations": P
         + """SELECT conv_id,
@@ -684,7 +685,7 @@ def oracle_sql() -> dict[str, str]:
              FROM parsed GROUP BY conv_id""",
         "asof_error_tool": P
         + """SELECT conv_id, turn_idx, error_code,
-                    CAST(prior_tool_turn AS BIGINT) AS prior_tool_turn, prior_tool_name
+                    CAST(prior_tool_turn AS DOUBLE) AS prior_tool_turn, prior_tool_name
              FROM (
                SELECT conv_id, turn_idx, error_code,
                       lag(CASE WHEN tool_name IS NOT NULL THEN turn_idx END IGNORE NULLS)
@@ -767,8 +768,9 @@ def oracle_sql() -> dict[str, str]:
               AND m.turn_idx BETWEEN bl.start_turn AND bl.end_turn
              GROUP BY 1, 2, 3, 4""",
         "conv_avg_rt_ranking": P
-        + """SELECT conv_id, COUNT(rt_us) AS n, SUM(rt_us) AS sum_rt,
-                    round(SUM(rt_us) * 1.0 / COUNT(rt_us), 6) AS avg_rt_us
+        + """SELECT conv_id, COUNT(rt_us) AS n,
+                    CAST(SUM(rt_us) AS BIGINT) AS sum_rt,
+                    round_even(SUM(rt_us) * 1.0 / COUNT(rt_us), 6) AS avg_rt_us
              FROM parsed WHERE rt_us IS NOT NULL GROUP BY conv_id
              ORDER BY avg_rt_us DESC, conv_id LIMIT 10""",
         "windowed_sink_counts": P
@@ -784,7 +786,7 @@ def oracle_sql() -> dict[str, str]:
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,
-                   round(n_stopwords / greatest(n_words, 1.0), 6) AS stop_ratio
+                   round_even(n_stopwords / greatest(n_words, 1.0), 6) AS stop_ratio
             FROM (
               SELECT doc_id, length(text) AS len_chars,
                      CAST(len(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS BIGINT) AS n_words,
@@ -816,20 +818,20 @@ def oracle_sql() -> dict[str, str]:
               FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT a_id, b_id, i, sa.n + sb.n - i AS u,
-                   round(i / (sa.n + sb.n - i * 1.0), 6) AS jac
+                   round_even(i / (sa.n + sb.n - i * 1.0), 6) AS jac
             FROM inter
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
-            WHERE round(i / (sa.n + sb.n - i * 1.0), 6) >= 0.95""",
+            WHERE round_even(i / (sa.n + sb.n - i * 1.0), 6) >= 0.95""",
         "cosine_near_dups": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+                   round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])), 6) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
         "knn_cosine": """
-            SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+            SELECT query_id, vec_id, round_even(sim, 6) AS sim FROM (
               SELECT query_id, vec_id, sim,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, vec_id) AS rn

@@ -96,7 +96,11 @@ def asof_correlate(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
                 "conv_id": g.loc[errs, "conv_id"],
                 "turn_idx": g.loc[errs, "turn_idx"].astype("int32"),
                 "error_code": g.loc[errs, "error_code"],
-                "prior_tool_turn": prior_turn[errs].astype("Int64"),
+                # plain float64/NaN, NOT nullable Int64: the external driver
+                # hashes values without dtype canonicalization, and the DuckDB
+                # oracle yields float64/NaN for a nullable lag column — pd.NA
+                # renders differently and fails its hash (round-1 postmortem).
+                "prior_tool_turn": prior_turn[errs].astype("float64"),
                 "prior_tool_name": prior_name[errs],
             }
         )

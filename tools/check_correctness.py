@@ -62,6 +62,30 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str]:
         return problems
     if len(ray_df) != len(ora_df):
         problems.append(f"rowcount: ray={len(ray_df)} oracle={len(ora_df)}")
+    # dtype-FAMILY gate: the external driver hashes values without dtype
+    # canonicalization. Round-1 evidence: int64-vs-float64 and Int64(pd.NA)-
+    # vs-NaN fail its hash (tool_rt_stats / asof_error_tool /
+    # conv_avg_rt_ranking), while int32-vs-int64 and Int64-without-NA pass
+    # (reassembled_sessions, text_quality, session_durations) — so compare
+    # the numeric FAMILY, not the exact width.
+    def family(s: pd.Series) -> str:
+        if pd.api.types.is_bool_dtype(s):
+            return "bool"
+        if pd.api.types.is_integer_dtype(s):
+            return "float" if s.isna().any() else "int"  # NA forces float render
+        if pd.api.types.is_float_dtype(s):
+            return "float"
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return "datetime"
+        return "object"
+
+    for c in sorted(ray_df.columns):
+        rf, of = family(ray_df[c]), family(ora_df[c])
+        if rf != of:
+            problems.append(
+                f"dtype[{c}]: ray={ray_df[c].dtype}({rf}) oracle={ora_df[c].dtype}({of})"
+                " (driver hash hazard)"
+            )
     a, b = canon(ray_df), canon(ora_df)
     if len(a) == len(b):
         for c in a.columns:
