@@ -60,6 +60,78 @@ def _mb(ds, fn, batch_size=None):
     )
 
 
+def _eq_scalar(col: pa.ChunkedArray, scalar) -> pa.ChunkedArray:
+    """Null-safe col == scalar (null matches null)."""
+    if not scalar.is_valid:
+        return pc.is_null(col)
+    return pc.fill_null(pc.equal(col, scalar), False)
+
+
+def _boundary_mask(b: pa.Table, keys: Sequence[str]):
+    """True for rows whose key equals the block's FIRST or LAST key — the only
+    keys that can continue in an adjacent block of a sorted dataset."""
+    n = b.num_rows
+    eq_first = eq_last = None
+    for k in keys:
+        col = b[k]
+        f = _eq_scalar(col, col[0])
+        l = _eq_scalar(col, col[n - 1])
+        eq_first = f if eq_first is None else pc.and_(eq_first, f)
+        eq_last = l if eq_last is None else pc.and_(eq_last, l)
+    return pc.or_(eq_first, eq_last)
+
+
+def group_safe_map(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    fn,
+    *,
+    batch_format: str = "pyarrow",
+):
+    """Range-sort on ``keys`` and apply ``fn`` to whole-block batches with the
+    GUARANTEE that all rows of any equal-key group land in exactly one batch.
+
+    A bare ``sort(keys)`` + ``map_batches(batch_size=None)`` almost gives
+    this (the range partitioner assigns equal keys to one partition), but
+    Ray's dynamic block splitting may split an oversized sort output into
+    several blocks, cutting a key group in two. Exact fix, fully
+    distributed: a split key is necessarily the LAST key of one block and
+    the FIRST of the next, so keys strictly interior to a block are provably
+    complete there and are processed per block; every block's first-key and
+    last-key rows — at most two groups per block — are coalesced into ONE
+    block (``repartition(1)``) and processed together. ``fn`` must therefore
+    be order-insensitive within a batch (every consumer here sorts or
+    group_bys internally). Ceiling: the boundary set (≤ 2 key groups per
+    block) must fit one task's memory — the same bound as any per-group
+    operator has for a single hot group.
+
+    Pinned by tests/test_aggregate.py::test_group_safe_under_block_splits
+    with target_max_block_size forced tiny."""
+    keys = list(keys)
+
+    def apply(d):
+        return d.map_batches(fn, batch_format=batch_format, batch_size=None,
+                             **({"zero_copy_batch": True} if batch_format == "pyarrow" else {}))
+
+    s = ds.sort(keys).materialize()
+    if s.num_blocks() <= 1:
+        return apply(s)
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pc.invert(_boundary_mask(b, keys)))
+
+    def boundary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(_boundary_mask(b, keys))
+
+    inner = apply(_mb(s, interior))
+    edge = apply(_mb(s, boundary).repartition(1))
+    return inner.union(edge)
+
+
 def sorted_combine(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
@@ -68,7 +140,8 @@ def sorted_combine(
     keep: Sequence[str] | None = None,
 ):
     """Exact grouped aggregate of per-block partials: range-sort on keys, then
-    one vectorized pyarrow combine per block (see module docstring)."""
+    one vectorized pyarrow combine per block (see module docstring); key
+    groups split across blocks are handled by group_safe_map."""
     keys = list(keys)
     renames = renames or {}
 
@@ -79,7 +152,7 @@ def sorted_combine(
             out = out.select(list(keep))
         return out
 
-    return _mb(ds.sort(keys), final)
+    return group_safe_map(ds, keys, final)
 
 
 def grouped_count(ds: "ray.data.Dataset", keys: Sequence[str], alias: str = "n"):
@@ -217,7 +290,7 @@ def argmax_by(
         )
 
     partial = _mb(ds, pick, batch_size=COMBINE_ROWS)
-    return _mb(partial.sort(keys), pick)
+    return group_safe_map(partial, keys, pick)
 
 
 def pivot_counts(
@@ -231,11 +304,10 @@ def pivot_counts(
     (AG6 — fixed column dictionary like webAccessLogParser.sh:796,799).
     A re-sort on row_key ALONE precedes the per-block pivot: the count table
     arrives range-partitioned on (row_key, col_key), whose boundaries can
-    split one row_key across blocks — sorting on just row_key restores the
-    all-rows-of-a-key-in-one-block invariant. The table is post-aggregate
+    split one row_key across blocks — group_safe_map on just row_key restores
+    the all-rows-of-a-key-in-one-block invariant. The table is post-aggregate
     (small), so this sort is cheap."""
     columns = list(columns)
-    counts = counts.sort(row_key)
 
     def pivot_block(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -258,7 +330,7 @@ def pivot_counts(
             )
         return pa.table(out)
 
-    return _mb(counts, pivot_block)
+    return group_safe_map(counts, [row_key], pivot_block)
 
 
 def threshold_alerts(

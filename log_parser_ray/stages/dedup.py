@@ -166,9 +166,9 @@ def _pairs_from_buckets(
             out["b_pl"] = pa.array(payload[bi])
         return pa.table(out)
 
-    return ds.sort(bucket_col).map_batches(
-        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    from log_parser_ray.stages.aggregate import group_safe_map
+
+    return group_safe_map(ds, [bucket_col], fn)
 
 
 # ---------------------------------------------------------------------------
@@ -407,10 +407,10 @@ def minhash_clusters(
             }
         )
 
+    from log_parser_ray.stages.aggregate import group_safe_map
+
     raw_edges = (
-        buckets.sort("bucket")
-        .map_batches(edges_fn, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
+        group_safe_map(buckets, ["bucket"], edges_fn)
         .to_pandas()
         .drop_duplicates()
     )

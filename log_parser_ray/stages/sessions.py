@@ -27,10 +27,13 @@ import ray.data
 
 
 def _per_conv_blocks(ds: "ray.data.Dataset", fn):
-    """sort by conv_id, then one vectorized pandas fn per whole block."""
-    return ds.sort("conv_id").map_batches(
-        fn, batch_format="pandas", batch_size=None
-    )
+    """sort by conv_id, then one vectorized pandas fn per whole block; a
+    conversation split across blocks by dynamic block splitting is routed to
+    the boundary pass (aggregate.group_safe_map), so fn always sees whole
+    conversations."""
+    from log_parser_ray.stages.aggregate import group_safe_map
+
+    return group_safe_map(ds, ["conv_id"], fn, batch_format="pandas")
 
 
 def session_pairs(parsed: "ray.data.Dataset") -> "ray.data.Dataset":

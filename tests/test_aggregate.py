@@ -135,3 +135,44 @@ def test_grouped_count_high_cardinality_exact():
     truth = df.groupby("k1").size().reset_index(name="n")
     got = got.sort_values("k1").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, truth, check_dtype=False)
+
+
+def test_group_safe_under_block_splits():
+    """Force Ray's dynamic block splitting to cut sort partitions mid-key:
+    with target_max_block_size tiny, a bare sort+per-block combine would emit
+    duplicate key rows; group_safe_map must stay exact (ADVICE round 1)."""
+    from ray.data import DataContext
+
+    rs = np.random.RandomState(3)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "k1": rs.choice(["a", "b", "hot", "zz"], n, p=[0.2, 0.2, 0.55, 0.05]),
+            "v": rs.randint(0, 1000, n).astype("int64"),
+        }
+    )
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # ~16 KiB: every partition splits
+    try:
+        ds = rd.from_pandas(df).repartition(8)
+        got = grouped_stats(ds, ["k1"], "v", count="n", sum_="s").to_pandas()
+        # per-conversation pass under splitting too
+        from log_parser_ray.stages.aggregate import group_safe_map
+
+        def whole_groups(g: pd.DataFrame) -> pd.DataFrame:
+            # one row per key with its full row count — duplicates appear if
+            # a key group was ever split across batches
+            return g.groupby("k1", as_index=False).size()
+
+        parts = group_safe_map(ds, ["k1"], whole_groups, batch_format="pandas").to_pandas()
+    finally:
+        ctx.target_max_block_size = prev
+    truth = df.groupby("k1").agg(n=("v", "count"), s=("v", "sum")).reset_index()
+    got = got.sort_values("k1").reset_index(drop=True)
+    truth = truth.sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth, check_dtype=False)
+    # every key appears exactly once across all batches of the safe map
+    parts = parts.sort_values("k1").reset_index(drop=True)
+    assert list(parts["k1"]) == sorted(df["k1"].unique())
+    assert parts.set_index("k1")["size"].to_dict() == df["k1"].value_counts().to_dict()
