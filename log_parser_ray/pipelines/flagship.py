@@ -4,11 +4,11 @@ with per-partition lineage metrics.
 
     read_parquet(transcripts)                 # pruned scan
       → parse_dataset (stateless maps)       # grok/regex extract + sink column
-      → enrich_dataset (actor pool)          # broadcast lookups — Ray fuses the
-                                             #   parse maps into this pool
-      → materialize routed table ONCE        # object-store blocks, spill-backed
+      → EnrichWriteProject (actor pool)      # broadcast lookups + sink write +
+                                             #   narrow projection, ONE fused
+                                             #   chain (parse maps fuse in)
+      → materialize NARROW columns only      # text never enters the store
       → CONCURRENTLY from those blocks:      # driver threads; zero-copy reads
-          write_sinks (partitioned fan-out)  # routed rows, one dir per sink
           aggregate suite (two-phase shuffles)  # per-sink counts, hourly, top-k
       → threshold alerts (broadcast join)
       → optional history append + manifest   # IO5/S5
@@ -16,8 +16,7 @@ with per-partition lineage metrics.
 The input is parsed EXACTLY ONCE — the reference's shape (one AWK pass emits
 the parsed table + side files; sort/top-k passes read the temp files,
 webAccessLogParser.sh:1300-1513) — and at 100 TB you never re-run the regex
-pass per report: every report consumes the same materialized blocks with a
-column-pruned projection.
+pass per report: every report consumes the same materialized narrow blocks.
 """
 
 from __future__ import annotations
@@ -37,7 +36,6 @@ from log_parser_ray.stages.aggregate import (
 )
 from log_parser_ray.stages.enrich import enrich_dataset
 from log_parser_ray.stages.parse import parse_dataset
-from log_parser_ray.stages.route import write_sinks
 from log_parser_ray.state.manifest import PartitionRecord, RunManifest
 
 
@@ -62,29 +60,48 @@ def run(
 ) -> dict:
     """Execute the full DAG; returns small pandas aggregate tables + row count.
 
-    The parsed+routed table is materialized ONCE (object-store blocks; Ray
-    spills past memory), then the sink write and all five aggregate reports
-    run CONCURRENTLY from it on driver threads — the aggregates are
-    independent shuffles, and serializing them would stack their barrier
-    latencies into a fixed cost that caps scaling efficiency. (The
-    alternative write-then-rescan layout pays a second parquet decode; with
-    spilling, sharing the materialized blocks is strictly cheaper.)"""
+    ONE fused pass (read → compose → parse → enrich+write+project actor pool)
+    writes the routed rows to the per-sink layout as a side effect and
+    materializes ONLY the 7 narrow aggregate columns — the full-width rows
+    (text included) never transit or pin the object store (round-1 scaling
+    postmortem). The five aggregate reports then run CONCURRENTLY from the
+    narrow blocks on driver threads — independent shuffles whose barrier
+    latencies would otherwise stack into a fixed cost that caps scaling
+    efficiency."""
+    from log_parser_ray.stages.enrich import default_pool_size
+    from log_parser_ray.stages.route import EnrichWriteProject
+
     t0 = time.perf_counter()
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="logpipe_run_")
-    routed = build(transcripts, enrich_concurrency=enrich_concurrency).materialize()
-
-    narrow = routed.select_columns(
-        ["conv_id", "turn_idx", "category", "hour", "tool_name", "rt_us", "sink"]
+    narrow_cols = ["conv_id", "turn_idx", "category", "hour", "tool_name", "rt_us", "sink"]
+    conc = enrich_concurrency if enrich_concurrency is not None else default_pool_size()
+    narrow = (
+        parse_dataset(transcripts)
+        .map_batches(
+            EnrichWriteProject,
+            fn_constructor_kwargs={"out_dir": out_dir, "narrow_cols": narrow_cols},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=32768,
+            concurrency=conc,
+        )
+        .materialize()
     )
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
-        f_write = ex.submit(write_sinks, routed, out_dir)
-        f_sink = ex.submit(lambda: grouped_count(narrow, ["sink"], alias="n").to_pandas())
-        f_convcat = ex.submit(
-            lambda: grouped_count(narrow, ["conv_id", "category"], alias="n").to_pandas()
+    # Three shuffles cover the five reports (SURVEY §7.5 "very wide aggregate
+    # inventory — fuse same-key aggs into shared shuffles"): the
+    # (conv_id, category, sink) count is the common refinement from which
+    # conv_category, errors-per-conv and sink_counts all derive by summing
+    # out a column — post-aggregate tables the flagship collects to pandas
+    # anyway, so the derivation is driver-side on already-small data.
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_ccs = ex.submit(
+            lambda: grouped_count(
+                narrow, ["conv_id", "category", "sink"], alias="n"
+            ).to_pandas()
         )
         f_hourly = ex.submit(
             lambda: grouped_count(narrow, ["hour", "sink"], alias="n").to_pandas()
@@ -100,24 +117,15 @@ def run(
                 k=10,
             ).to_pandas()
         )
-        f_errconv = ex.submit(
-            lambda: grouped_count(
-                narrow.map_batches(
-                    lambda t: t.filter(pc.equal(t["sink"], "errors")),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                    batch_size=None,
-                ),
-                ["conv_id"],
-                alias="n",
-            ).to_pandas()
-        )
-        f_write.result()
-        sink_counts = f_sink.result()
-        conv_category = f_convcat.result()
+        ccs = f_ccs.result()
         hourly = f_hourly.result()
         topk_slow = f_topk.result()
-        errors_per_conv = f_errconv.result()
+
+    sink_counts = ccs.groupby("sink", as_index=False)["n"].sum()
+    conv_category = ccs.groupby(["conv_id", "category"], as_index=False)["n"].sum()
+    errors_per_conv = (
+        ccs[ccs["sink"] == "errors"].groupby("conv_id", as_index=False)["n"].sum()
+    )
 
     alerts = threshold_alerts(
         errors_per_conv,

@@ -78,6 +78,17 @@ class Enricher:
         )
 
 
+def default_pool_size() -> int:
+    """Actor-pool size for the fused per-row stage: proportional to the
+    cluster until the per-node object-store writer cap. Beyond ~12 concurrent
+    block writers a node's object store saturates and extra actors only
+    contend (measured on 32 CPUs: pool 24 → 475k rows/s, pool 12 → 576k,
+    pool 8 → 585k); a multi-node cluster gets 12 writers per node."""
+    total = int(ray.cluster_resources().get("CPU", 4))
+    n_nodes = max(1, len([n for n in ray.nodes() if n.get("Alive", True)]))
+    return max(1, min((total * 3) // 4, 12 * n_nodes))
+
+
 def enrich_dataset(
     ds,
     tool_categories: dict[str, str] | None = None,
@@ -98,13 +109,7 @@ def enrich_dataset(
     actors' standing reservations; a fixed size avoids autoscaling churn
     (each scale-up pays process spawn + import while the queue stalls)."""
     if concurrency is None:
-        total = int(ray.cluster_resources().get("CPU", 4))
-        n_nodes = max(1, len([n for n in ray.nodes() if n.get("Alive", True)]))
-        # per-node writer cap: beyond ~12 concurrent block writers a node's
-        # object store saturates and extra actors only contend (measured on
-        # 32 CPUs: pool 24 → 475k rows/s, pool 12 → 576k, pool 8 → 585k);
-        # a multi-node cluster gets 12 writers per node
-        concurrency = max(1, min((total * 3) // 4, 12 * n_nodes))
+        concurrency = default_pool_size()
     kwargs = {}
     if tool_categories is not None:
         kwargs["tool_categories_ref"] = ray.put(dict(tool_categories))

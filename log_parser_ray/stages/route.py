@@ -33,6 +33,62 @@ def write_sinks(
     )
 
 
+def write_batch_sinks(batch, out_dir: str) -> None:
+    """Write ONE routed batch to the per-sink hive layout
+    (``out/sink=<s>/part-<fp>.parquet``), skipping the ``sink`` column inside
+    the file (it is the partition key, matching write_parquet(partition_cols)).
+
+    Filenames are CONTENT-derived (rows + first/last (conv_id, turn_idx)), so
+    a Ray task retry rewrites the same file instead of duplicating rows —
+    the mv-commit idempotency of the reference (webAccessLogParser.sh:
+    1518-1557) at batch granularity."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if batch.num_rows == 0:
+        return
+    n = batch.num_rows
+    ident = (
+        f"{n}:{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
+        f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}"
+    )
+    fp = hashlib.md5(ident.encode()).hexdigest()[:16]
+    enc = batch["sink"].combine_chunks().dictionary_encode()
+    body = batch.drop_columns(["sink"])
+    for i, s in enumerate(enc.dictionary.to_pylist()):
+        sub = body.filter(pc.equal(enc.indices, i))
+        d = os.path.join(out_dir, f"sink={s}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"part-{fp}.parquet"))
+
+
+class EnrichWriteProject:
+    """Fused enrich + sink-write + narrow-projection actor — the flagship hot
+    path. Parse (stateless maps) fuses into this pool, so the full-width
+    routed rows exist only INSIDE the task: they are written straight to the
+    per-sink parquet layout and only the narrow aggregate columns are
+    emitted. Text-bearing blocks therefore never transit or pin the object
+    store (round-1 scaling postmortem: shipping `text` through shared memory
+    for reports that never read it capped single-box scaling at 0.45)."""
+
+    def __init__(self, out_dir: str, narrow_cols: list[str],
+                 tool_categories_ref=None, role_severities_ref=None):
+        from log_parser_ray.stages.enrich import Enricher
+
+        self._enrich = Enricher(tool_categories_ref, role_severities_ref)
+        self.out_dir = out_dir
+        self.narrow_cols = list(narrow_cols)
+
+    def __call__(self, batch):
+        full = self._enrich(batch)
+        write_batch_sinks(full, self.out_dir)
+        return full.select(self.narrow_cols)
+
+
 def sink_filter(ds: "ray.data.Dataset", sink: str) -> "ray.data.Dataset":
     """One routed sink as a Dataset (vectorized Arrow filter, streams)."""
     import pyarrow.compute as pc
