@@ -27,8 +27,10 @@ def main(argv=None) -> int:
                     help="--raw-logs: substring filter on file names (date-rotation predicate)")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
-                    help="resumable per-conv-bucket run with lineage manifest")
-    ap.add_argument("--buckets", type=int, default=8)
+                    help="resumable per-input-range run with lineage manifest "
+                         "(requires --events-sf: partitions come from parquet "
+                         "row-group ranges at the read)")
+    ap.add_argument("--partitions", "--buckets", dest="partitions", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true",
                     help="partitioned mode: recompute even completed partitions")
     ap.add_argument("--enrich-concurrency", type=int, default=None)
@@ -56,12 +58,14 @@ def main(argv=None) -> int:
         transcripts = transcripts_from_events(args.events_sf)
 
     if args.partitioned:
+        if not args.events_sf:
+            ap.error("--partitioned requires --events-sf (partitioned read)")
         from log_parser_ray.pipelines.partitioned import run_partitioned
 
         results = run_partitioned(
-            transcripts,
+            args.events_sf,
             args.out,
-            n_buckets=args.buckets,
+            n_partitions=args.partitions,
             resume=not args.no_resume,
             enrich_concurrency=args.enrich_concurrency,
         )

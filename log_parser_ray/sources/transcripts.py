@@ -122,14 +122,22 @@ def _compose(batch):
     )
 
 
-def transcripts_from_events(sf_dir: str) -> "ray.data.Dataset":
+def transcripts_from_events(sf_dir: str, filter=None) -> "ray.data.Dataset":
     """events.parquet → transcript Dataset (row-local map, streams, no shuffle).
 
     batch_size=32768 coalesces the reader's small blocks into full batches so
-    per-task overhead stays negligible at every sf."""
+    per-task overhead stays negligible at every sf.
+
+    ``filter``: optional pyarrow.dataset expression pushed down to the
+    parquet scan (row-group pruning) — partitioned/resumable runs pass
+    event_id ranges here so each partition reads only its own bytes."""
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
+        **kwargs,
     )
     return ds.map_batches(
         _compose, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768

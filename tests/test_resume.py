@@ -28,22 +28,20 @@ def routed_rows(root: str) -> pd.DataFrame:
 
 
 def test_kill_and_resume_equals_single_run(ray_session, sf_dir, tmp_path):
-    tr = transcripts_from_events(sf_dir)
-
     clean_root = str(tmp_path / "clean")
-    res_clean = run_partitioned(tr, clean_root, n_buckets=4, enrich_concurrency=2)
+    res_clean = run_partitioned(sf_dir, clean_root, n_partitions=4, enrich_concurrency=2)
     assert len(res_clean) == 4
 
     crash_root = str(tmp_path / "crashy")
     with pytest.raises(RuntimeError, match="injected failure"):
         run_partitioned(
-            tr, crash_root, n_buckets=4, fail_after=2, enrich_concurrency=2
+            sf_dir, crash_root, n_partitions=4, fail_after=2, enrich_concurrency=2
         )
     # 2 committed partitions + manifest lines; no partial final dirs
-    done_dirs = [d for d in os.listdir(crash_root) if d.startswith("bucket=")]
+    done_dirs = [d for d in os.listdir(crash_root) if d.startswith("events-")]
     assert len(done_dirs) == 2
 
-    res_resumed = run_partitioned(tr, crash_root, n_buckets=4, enrich_concurrency=2)
+    res_resumed = run_partitioned(sf_dir, crash_root, n_partitions=4, enrich_concurrency=2)
     assert res_resumed == res_clean
 
     # routed-row equality under stable (conv_id, turn_idx) ordering
@@ -54,32 +52,49 @@ def test_kill_and_resume_equals_single_run(ray_session, sf_dir, tmp_path):
     for f in glob.glob(os.path.join(crash_root, "_manifest-*.jsonl")):
         lines += [json.loads(l) for l in open(f) if l.strip()]
     done = [l for l in lines if l["status"] == "done"]
-    assert sorted(l["partition"] for l in done) == [f"bucket={b}" for b in range(4)]
+    assert len(done) == 4 and all(l["partition"].startswith("events-") for l in done)
     assert all(l["rows_routed"] > 0 and l["wall_s"] > 0 for l in done)
 
 
 def test_resume_skips_completed(ray_session, sf_dir, tmp_path):
-    tr = transcripts_from_events(sf_dir)
     root = str(tmp_path / "skip")
-    run_partitioned(tr, root, n_buckets=2, enrich_concurrency=2)
+    run_partitioned(sf_dir, root, n_partitions=2, enrich_concurrency=2)
     mtimes = {
         d: os.path.getmtime(os.path.join(root, d))
         for d in os.listdir(root)
-        if d.startswith("bucket=")
+        if d.startswith("events-")
     }
-    run_partitioned(tr, root, n_buckets=2, enrich_concurrency=2)
+    run_partitioned(sf_dir, root, n_partitions=2, enrich_concurrency=2)
     for d, m in mtimes.items():
         assert os.path.getmtime(os.path.join(root, d)) == m  # untouched
 
 
+def test_partition_ranges_disjoint_cover(sf_dir):
+    """The read-level partitions are a strict partition of the input id space:
+    disjoint, contiguous, and covering — the 1×-input-bytes property."""
+    import pyarrow.parquet as pq
+
+    from log_parser_ray.pipelines.partitioned import discover_event_partitions
+
+    path = f"{sf_dir}/events.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    parts = discover_event_partitions(path, 4)
+    spans = sorted((lo, hi) for _, lo, hi in parts)
+    assert spans[0][0] == 0
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert l2 == h1 + 1  # disjoint and contiguous
+    assert spans[-1][1] >= n_rows - 1  # covers
+
+
 def test_partitions_cover_input_exactly(ray_session, sf_dir, tmp_path):
-    """Bucketing is a partition: per-sink counts across buckets sum to the
-    unpartitioned run's counts (routing itself is total: sink is never null)."""
+    """Range partitioning is a partition: per-sink counts across partitions
+    sum to the unpartitioned run's counts (routing itself is total: sink is
+    never null)."""
     from log_parser_ray.pipelines import flagship
 
     tr = transcripts_from_events(sf_dir)
     root = str(tmp_path / "cover")
-    res = run_partitioned(tr, root, n_buckets=3, enrich_concurrency=2)
+    res = run_partitioned(sf_dir, root, n_partitions=3, enrich_concurrency=2)
     summed: dict[str, int] = {}
     for counts in res.values():
         for s, n in counts.items():
