@@ -110,26 +110,58 @@ def group_safe_map(
     keys = list(keys)
 
     def apply(d):
-        return d.map_batches(fn, batch_format=batch_format, batch_size=None,
+        # Generator wrapper: EMPTY batches produce NO output block at all.
+        # Ray's sort materializes empty ranges as column-less blocks; letting
+        # them reach fn (or a downstream Acero join) breaks on the missing
+        # columns, and normalizing them would need fn's output schema — so
+        # drop them instead.
+        def gen(b):
+            if len(b) == 0:
+                return
+            yield fn(b)
+
+        return d.map_batches(gen, batch_format=batch_format, batch_size=None,
                              **({"zero_copy_batch": True} if batch_format == "pyarrow" else {}))
 
     s = ds.sort(keys).materialize()
     if s.num_blocks() <= 1:
         return apply(s)
 
-    def interior(b: pa.Table) -> pa.Table:
+    def interior(b: pa.Table):
         if b.num_rows == 0:
-            return b
-        return b.filter(pc.invert(_boundary_mask(b, keys)))
+            return
+        yield b.filter(pc.invert(_boundary_mask(b, keys)))
 
-    def boundary(b: pa.Table) -> pa.Table:
+    def boundary(b: pa.Table):
         if b.num_rows == 0:
-            return b
-        return b.filter(_boundary_mask(b, keys))
+            return
+        yield b.filter(_boundary_mask(b, keys))
 
     inner = apply(_mb(s, interior))
     edge = apply(_mb(s, boundary).repartition(1))
     return inner.union(edge)
+
+
+def conform_schema(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Dataset":
+    """Drop column-less EMPTY blocks so the dataset is safe as a JOIN input.
+
+    Ray manufactures schema-less empty blocks for map tasks that emit no
+    rows and for empty sort ranges; they poison the dataset-level schema and
+    Acero hash joins abort on them ("no match for key field"). They cannot
+    be fixed with map_batches — Ray never calls the fn on an empty batch —
+    so this materializes the (small, post-aggregate) dataset and rebuilds it
+    zero-copy from the non-empty block refs; a fully empty dataset becomes
+    one empty block carrying ``schema``."""
+    m = ds.materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
 
 
 def sorted_combine(
