@@ -407,6 +407,167 @@ def q_part_type_revenue(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# real access-log format pack (M4–M13): parse the synthesized
+# reference-format lines, check against the events-derived truth CTE
+
+from log_parser_ray.sources.accesssynth import (
+    PERF_BASELINE_US,
+    access_truth_cte,
+    synth_access_lines,
+)
+from log_parser_ray.stages.accesslog import parse_access_log
+
+ACCESS_COLS = [
+    "line_id", "websrvr", "dt", "tm", "tz", "hour", "jsession", "clone_id",
+    "was", "domain", "page", "ext", "uri_path", "params", "protocol",
+    "request", "response", "size", "byte_rcvd", "byte_snt", "uid", "rt_us",
+    "resp_range", "browser", "os_name", "os_flav", "os_ver", "ua_unknown",
+    "sink",
+]
+
+
+def _access_parsed(sf_dir: str):
+    return parse_access_log(synth_access_lines(sf_dir)).select_columns(ACCESS_COLS)
+
+
+def q_access_parsed_rows(sf_dir: str):
+    """M4–M13 routed-row equality: the parser must invert the line format."""
+    return _access_parsed(sf_dir)
+
+
+def q_access_hourly_stats(sf_dir: str):
+    """A14/A18: per (websrvr, hour) count + response-time sum."""
+    return grouped_stats(_access_parsed(sf_dir), ["websrvr", "hour"], "rt_us",
+                         count="n", sum_="sum_rt_us")
+
+
+def q_access_method_pivot(sf_dir: str):
+    """A10 request-method × web-server pivot, zero-filled fixed columns."""
+    counts = grouped_count(_access_parsed(sf_dir), ["websrvr", "request"], alias="n")
+    return pivot_counts(counts, "websrvr", "request", "n", ["GET", "POST", "HEAD"])
+
+
+def q_access_ua_counts(sf_dir: str):
+    """M11 classifier rollup: (browser, os_name) counts."""
+    return grouped_count(_access_parsed(sf_dir), ["browser", "os_name"], alias="n")
+
+
+def q_access_domain_rollup(sf_dir: str):
+    """A16 per-domain count + rt sum."""
+    return grouped_stats(_access_parsed(sf_dir), ["domain"], "rt_us",
+                         count="n", sum_="sum_rt_us")
+
+
+def q_access_discard_counts(sf_dir: str):
+    """M12/AG7: router partition counts incl. the discarded side-output."""
+    return grouped_count(_access_parsed(sf_dir), ["sink"], alias="n")
+
+
+def q_access_baseline_deviation(sf_dir: str):
+    """J6 baseline deviation (webAccessLogParser.sh:1009-1023): per-URI avg
+    response time vs the perfBaseLine table; diff + %deviation."""
+    stats = grouped_stats(
+        _access_parsed(sf_dir), ["uri_path"], "rt_us", count="n", sum_="sum_rt_us"
+    ).to_pandas()
+    stats = stats[stats["uri_path"].isin(PERF_BASELINE_US)].copy()
+    avg = stats["sum_rt_us"] / stats["n"]
+    base = stats["uri_path"].map(PERF_BASELINE_US)
+    stats["avg_rt_us"] = avg.round(6)
+    stats["baseline_us"] = base
+    stats["diff_us"] = (avg - base).round(6)
+    stats["pct_dev"] = ((avg - base) * 100.0 / base).round(4)
+    return stats.sort_values("uri_path").reset_index(drop=True)
+
+
+def q_access_top_slow_uris(sf_dir: str):
+    """K2: top-10 URIs by average response time."""
+    stats = grouped_stats(
+        _access_parsed(sf_dir), ["uri_path"], "rt_us", count="n", sum_="sum_rt_us"
+    ).to_pandas()
+    stats["avg_rt_us"] = (stats["sum_rt_us"] / stats["n"]).round(6)
+    return (
+        stats.sort_values(["avg_rt_us", "uri_path"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def q_hung_thread_stats(sf_dir: str):
+    """AG4 stateful ordered aggregate: running declared/cleared hang counters
+    per conversation with the running-maximum concurrency."""
+    return sess.hung_thread_stats(_parsed(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# error-log + mpmstats pack (M14–M16, J3, A19, AG2) and GC pack (M17–M19,
+# A20/A21) — same synthesize-and-invert scheme as the access pack
+
+from log_parser_ray.stages.errorlog import (
+    parse_error_lines,
+    parse_mpmstats,
+    synth_error_lines,
+)
+from log_parser_ray.stages.gclog import parse_gc_lines, synth_gc_lines
+
+
+def q_errorlog_rows(sf_dir: str):
+    """M14 error-log line parse: full field equality vs events truth."""
+    return parse_error_lines(synth_error_lines(sf_dir))
+
+
+def q_errorlog_counts(sf_dir: str):
+    """A19: (server, event-type) error counts."""
+    return grouped_count(q_errorlog_rows(sf_dir), ["srv", "evt_type"], alias="n")
+
+
+def q_mpmstats_join(sf_dir: str):
+    """M15+M16+J3: mpmstats rdy ⟕ bsy-by-plugin on exact (srv, dtm);
+    absent plugin side → 0."""
+    return parse_mpmstats(synth_error_lines(sf_dir))
+
+
+def q_mpmstats_argmax(sf_dir: str):
+    """AG2 argmax-per-group on the real shape: the mpmstats record with max
+    bsy per server (webErrorLogParser.sh:361-379)."""
+    from log_parser_ray.stages.aggregate import argmax_by
+
+    mpm = parse_mpmstats(synth_error_lines(sf_dir)).select_columns(
+        ["srv", "line_id", "dtm", "rdy", "bsy", "was_bsy", "wbg_bsy"]
+    )
+    return argmax_by(mpm, ["srv"], ["bsy", "line_id"], [True, False])
+
+
+def q_gc_parsed_rows(sf_dir: str):
+    """M17+M18+M19: GC triples, K/M/G→K normalization, diff/pct derivation."""
+    return parse_gc_lines(synth_gc_lines(sf_dir))
+
+
+def q_gc_pause_summary(sf_dir: str):
+    """A20: per (jvm, gcType) count + pause sum + avg."""
+    stats = grouped_stats(
+        q_gc_parsed_rows(sf_dir), ["jvm", "gc_type"], "pause_us",
+        count="n", sum_="sum_pause_us",
+    ).to_pandas()
+    stats["avg_pause_us"] = (stats["sum_pause_us"] / stats["n"]).round(6)
+    return stats.sort_values(["jvm", "gc_type"]).reset_index(drop=True)
+
+
+def q_gc_threshold_exceeds(sf_dir: str):
+    """A21: per jvm, count of full GCs leaving old-gen usage above the
+    threshold (javaGCStatsParser.sh:474-489)."""
+    th = 3.0
+    ds = q_gc_parsed_rows(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["gc_type"], "Full GC"),
+                    pc.greater(t["pct_after"], th))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_count(ds, ["jvm"], alias="n_exceed")
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis / multimodal
 # (documents + embeddings tables; SURVEY.md §7 extension family)
 
@@ -603,6 +764,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_revenue": q_part_type_revenue,
         "windowed_sink_counts": q_windowed_sink_counts,
         "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
+        "access_parsed_rows": q_access_parsed_rows,
+        "access_hourly_stats": q_access_hourly_stats,
+        "access_method_pivot": q_access_method_pivot,
+        "access_ua_counts": q_access_ua_counts,
+        "access_domain_rollup": q_access_domain_rollup,
+        "access_discard_counts": q_access_discard_counts,
+        "access_baseline_deviation": q_access_baseline_deviation,
+        "access_top_slow_uris": q_access_top_slow_uris,
+        "hung_thread_stats": q_hung_thread_stats,
+        "errorlog_rows": q_errorlog_rows,
+        "errorlog_counts": q_errorlog_counts,
+        "mpmstats_join": q_mpmstats_join,
+        "mpmstats_argmax": q_mpmstats_argmax,
+        "gc_parsed_rows": q_gc_parsed_rows,
+        "gc_pause_summary": q_gc_pause_summary,
+        "gc_threshold_exceeds": q_gc_threshold_exceeds,
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
@@ -620,8 +797,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _baseline_case() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in PERF_BASELINE_US.items())
+    return f"(CASE uri_path {whens} END)"
+
+
+def _baseline_keys() -> str:
+    return ", ".join(f"'{k}'" for k in PERF_BASELINE_US)
+
+
 def oracle_sql() -> dict[str, str]:
+    from log_parser_ray.stages.errorlog import ERRLOG_TRUTH_CTE, MPMSTATS_TRUTH_CTE
+    from log_parser_ray.stages.gclog import GC_TRUTH_CTE
+
     P = _SQL_PREFIX
+    A = "WITH " + access_truth_cte() + "\n"
+    E = "WITH " + ERRLOG_TRUTH_CTE + "\n"
+    M = "WITH " + MPMSTATS_TRUTH_CTE + "\n"
+    G = "WITH " + GC_TRUTH_CTE + "\n"
     th = THRESHOLDS["conv.errCntTh"]
     pivot_cols = ", ".join(
         f"CAST(SUM(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
@@ -783,6 +976,73 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue_cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_type""",
+        # --- real access-log parse pack: oracle = events-derived truth ---
+        "access_parsed_rows": A + f"SELECT {', '.join(ACCESS_COLS)} FROM access_truth",
+        "access_hourly_stats": A
+        + """SELECT websrvr, hour, COUNT(rt_us) AS n,
+                    CAST(SUM(rt_us) AS BIGINT) AS sum_rt_us
+             FROM access_truth GROUP BY websrvr, hour""",
+        "access_method_pivot": A
+        + """SELECT websrvr,
+                    CAST(SUM(CASE WHEN request = 'GET' THEN 1 ELSE 0 END) AS BIGINT) AS GET,
+                    CAST(SUM(CASE WHEN request = 'POST' THEN 1 ELSE 0 END) AS BIGINT) AS POST,
+                    CAST(SUM(CASE WHEN request = 'HEAD' THEN 1 ELSE 0 END) AS BIGINT) AS HEAD
+             FROM access_truth GROUP BY websrvr""",
+        "access_ua_counts": A
+        + "SELECT browser, os_name, COUNT(*) AS n FROM access_truth GROUP BY browser, os_name",
+        "access_domain_rollup": A
+        + """SELECT domain, COUNT(rt_us) AS n, CAST(SUM(rt_us) AS BIGINT) AS sum_rt_us
+             FROM access_truth GROUP BY domain""",
+        "access_discard_counts": A
+        + "SELECT sink, COUNT(*) AS n FROM access_truth GROUP BY sink",
+        "access_baseline_deviation": A
+        + f"""SELECT uri_path, COUNT(rt_us) AS n, CAST(SUM(rt_us) AS BIGINT) AS sum_rt_us,
+                     round_even(SUM(rt_us) * 1.0 / COUNT(rt_us), 6) AS avg_rt_us,
+                     {_baseline_case()} AS baseline_us,
+                     round_even(SUM(rt_us) * 1.0 / COUNT(rt_us) - {_baseline_case()}, 6) AS diff_us,
+                     round_even((SUM(rt_us) * 1.0 / COUNT(rt_us) - {_baseline_case()})
+                                * 100.0 / {_baseline_case()}, 4) AS pct_dev
+              FROM access_truth
+              WHERE uri_path IN ({_baseline_keys()})
+              GROUP BY uri_path""",
+        "access_top_slow_uris": A
+        + """SELECT uri_path, COUNT(rt_us) AS n, CAST(SUM(rt_us) AS BIGINT) AS sum_rt_us,
+                    round_even(SUM(rt_us) * 1.0 / COUNT(rt_us), 6) AS avg_rt_us
+             FROM access_truth GROUP BY uri_path
+             ORDER BY avg_rt_us DESC, uri_path LIMIT 10""",
+        "hung_thread_stats": P
+        + """SELECT conv_id,
+                    CAST(SUM(is_err) AS BIGINT) AS n_declared,
+                    CAST(SUM(is_out) AS BIGINT) AS n_cleared,
+                    CAST(SUM(is_err) - SUM(is_out) AS BIGINT) AS remaining,
+                    CAST(MAX(run_rem) AS BIGINT) AS max_remaining
+             FROM (
+               SELECT conv_id,
+                      CASE WHEN error_code IS NOT NULL THEN 1 ELSE 0 END AS is_err,
+                      CASE WHEN is_logout THEN 1 ELSE 0 END AS is_out,
+                      SUM(CASE WHEN error_code IS NOT NULL THEN 1 ELSE 0 END
+                          - CASE WHEN is_logout THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_rem
+               FROM parsed)
+             GROUP BY conv_id""",
+        # --- error-log / mpmstats / GC packs: oracle = events-derived truth ---
+        "errorlog_rows": E + "SELECT * FROM errlog_truth",
+        "errorlog_counts": E
+        + "SELECT srv, evt_type, COUNT(*) AS n FROM errlog_truth GROUP BY srv, evt_type",
+        "mpmstats_join": M + "SELECT * FROM mpm_truth",
+        "mpmstats_argmax": M
+        + """SELECT srv, line_id, dtm, rdy, bsy, was_bsy, wbg_bsy FROM mpm_truth
+             QUALIFY row_number() OVER (PARTITION BY srv
+                                        ORDER BY bsy DESC, line_id) = 1""",
+        "gc_parsed_rows": G + "SELECT * FROM gc_truth",
+        "gc_pause_summary": G
+        + """SELECT jvm, gc_type, COUNT(pause_us) AS n,
+                    CAST(SUM(pause_us) AS BIGINT) AS sum_pause_us,
+                    round_even(SUM(pause_us) * 1.0 / COUNT(pause_us), 6) AS avg_pause_us
+             FROM gc_truth GROUP BY jvm, gc_type""",
+        "gc_threshold_exceeds": G
+        + """SELECT jvm, COUNT(*) AS n_exceed FROM gc_truth
+             WHERE gc_type = 'Full GC' AND pct_after > 3.0 GROUP BY jvm""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,

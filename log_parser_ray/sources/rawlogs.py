@@ -14,7 +14,12 @@ in-task decompress + line split producing the transcript schema:
                would misnumber lines)
     role     = "log", tool = null
     text     = the raw line
-    ts       = epoch 0 (the parse stage extracts real timestamps downstream)
+    ts       = extracted per line from `[DD/Mon/YYYY:HH:MM:SS -ZZZZ]`
+               (access-log, webAccessLogParser.sh:299-320) or
+               `[M/D/YY H:MM:SS:mmm TZ]` (WAS SystemOut,
+               websphereLogParser.sh:205-213); unmatched lines get epoch 0,
+               so hourly buckets and windows are real on the reference's
+               native input
 
 so every downstream stage — parse, route, aggregate, sessions — runs
 unchanged on real log files. Parallelism = number of files (logs arrive as
@@ -31,6 +36,38 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+
+def extract_line_ts(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized per-line timestamp extraction (M5 analogue).
+
+    Two grammars, tried in order with RE2 kernels:
+      access-log `[13/Jun/2015:10:32:04 -0400]` (webAccessLogParser.sh:299,
+        mktime at :320) — parsed with %d/%b/%Y:%H:%M:%S,
+      WAS SystemOut `[6/13/15 10:32:04:123 EDT]` (websphereLogParser.sh:205)
+        — parsed with %m/%d/%y %H:%M:%S.
+    The reference treats times as wall-clock local; zone offsets are kept as
+    text columns there, so both parses ignore the zone token and unmatched
+    lines fall back to epoch 0 (never null — downstream hour derivation
+    stays total)."""
+    import pyarrow.compute as pc
+
+    acc = pc.extract_regex(
+        text, r"\[(?P<a>\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2}) [-+]\d{4}\]"
+    )
+    was = pc.extract_regex(
+        text, r"\[(?P<w>\d{1,2}/\d{1,2}/\d{2} \d{1,2}:\d{2}:\d{2}):\d{3}"
+    )
+    a_ts = pc.strptime(
+        pc.struct_field(acc, "a"), format="%d/%b/%Y:%H:%M:%S", unit="us",
+        error_is_null=True,
+    )
+    w_ts = pc.strptime(
+        pc.struct_field(was, "w"), format="%m/%d/%y %H:%M:%S", unit="us",
+        error_is_null=True,
+    )
+    epoch0 = pa.scalar(0, pa.timestamp("us"))
+    return pc.coalesce(a_ts, w_ts, epoch0)
 
 
 def _stem(path: str) -> str:
@@ -76,6 +113,7 @@ def read_raw_logs(paths, *, file_pattern: str | None = None) -> "ray.data.Datase
             turns.append(np.arange(len(lines), dtype=np.int32))
             texts.extend(lines)
         n = len(texts)
+        text_arr = pa.array(texts, pa.string())
         return pa.table(
             {
                 "conv_id": pa.array(convs, pa.string()),
@@ -83,9 +121,9 @@ def read_raw_logs(paths, *, file_pattern: str | None = None) -> "ray.data.Datase
                     np.concatenate(turns) if turns else np.array([], np.int32)
                 ),
                 "role": pa.array(["log"] * n, pa.string()),
-                "text": pa.array(texts, pa.string()),
+                "text": text_arr,
                 "tool": pa.nulls(n, pa.string()),
-                "ts": pa.array([0] * n, pa.timestamp("us")),
+                "ts": extract_line_ts(text_arr),
             }
         )
 

@@ -1,0 +1,237 @@
+"""Apache/IHS error-log + mpmstats parse pack (M14–M16, J3, A19, AG2).
+
+The reference's webErrorLogParser.sh handles two line families:
+
+* error lines  `[Sun Jun 14 00:00:48 2015] [error] [client 10.0.0.9] File
+  does not exist: …, referer: http://…` — split on `"] "`, extracting date
+  parts, event type, client, error text and referrer
+  (webErrorLogParser.sh:148-154,254-268)
+* mpmstats     `… mpmstats: rdy 50 bsy 10 rd 1 wr 5 ka 3 log 0 dns 0 cls 1`
+  (8 k/v counters, :157-171) and the bsy-by-plugin continuation
+  `… bsy: 5 in mod_was_ap22_http.c, 3 in mod_webgate.c` (:192-232,
+  order-insensitive plugin match, absent → 0), joined per exact
+  (server, date, time) key with LEFT semantics (:171,232,280-288 — J3).
+
+Vectorized Arrow RE2 throughout; the synthesizer composes real-format lines
+from the shared events table and ``ERROR_TRUTH_CTE`` derives ground truth
+directly from events, so every operator is oracle-checkable.
+
+Synthesis grammar per event (eid = event_id, uidn = user_id):
+  srv = 'ihs' || uidn%4
+  eid%2==0 → error line, evtType = 'error' if eid%4==0 else 'warn',
+             client 10.0.<uidn%256>.<eid%256>, err 'E<eid%50>: lookup failed',
+             referer 'http://site/p<eid%20>'
+  eid%2==1 → mpmstats rdy line with counters rdy=eid%50 bsy=eid%20 rd=eid%5
+             wr=eid%7 ka=eid%3 log=eid%2 dns=eid%11 cls=eid%13;
+             PLUS (same srv/ts) a bsy-by-plugin line when eid%3!=0 with
+             was_bsy=eid%6, wbg_bsy=eid%4 — eid%3==0 exercises the
+             absent-side → 0 left-join case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+ERROR_RE = (
+    r"^(?P<srv>\S+) \[(?P<dtm>[^\]]+)\] \[(?P<evt>\w+)\] "
+    r"\[client (?P<client>[\d.]+)\] (?P<err>[^,]+), referer: (?P<ref>\S+)$"
+)
+RDY_RE = (
+    r"^(?P<srv>\S+) \[(?P<dtm>[^\]]+)\] \[notice\] mpmstats: "
+    r"rdy (?P<rdy>\d+) bsy (?P<bsy>\d+) rd (?P<rd>\d+) wr (?P<wr>\d+) "
+    r"ka (?P<ka>\d+) log (?P<log>\d+) dns (?P<dns>\d+) cls (?P<cls>\d+)$"
+)
+# order-insensitive plugin extraction (webErrorLogParser.sh:192-232)
+BSY_LINE_RE = r"^(?P<srv>\S+) \[(?P<dtm>[^\]]+)\] \[notice\] bsy: (?P<body>.*)$"
+WAS_BSY_RE = r"(?P<v>\d+) in mod_was_ap22_http\.c"
+WBG_BSY_RE = r"(?P<v>\d+) in mod_webgate\.c"
+
+
+def _compose(batch: pa.Table) -> pa.Table:
+    eid = batch["event_id"].to_numpy()
+    uidn = batch["user_id"].to_numpy()
+
+    ts_s = pc.cast(pc.floor_temporal(batch["ts"], unit="second"), pa.timestamp("s"))
+    dtm = pc.strftime(ts_s, format="%a %b %d %H:%M:%S %Y").to_numpy(zero_copy_only=False)
+    srv = np.char.add("ihs", (uidn % 4).astype(str))
+
+    is_err = eid % 2 == 0
+    evt = np.where(eid % 4 == 0, "error", "warn")
+    client = np.char.add(
+        np.char.add("10.0.", (uidn % 256).astype(str)),
+        np.char.add(".", (eid % 256).astype(str)),
+    )
+    err_line = np.array([
+        f"{s} [{d}] [{e}] [client {c}] E{i % 50}: lookup failed, referer: http://site/p{i % 20}"
+        for s, d, e, c, i in zip(srv, dtm, evt, client, eid)
+    ], dtype=object)
+    rdy_line = np.array([
+        f"{s} [{d}] [notice] mpmstats: rdy {i % 50} bsy {i % 20} rd {i % 5} "
+        f"wr {i % 7} ka {i % 3} log {i % 2} dns {i % 11} cls {i % 13}"
+        for s, d, i in zip(srv, dtm, eid)
+    ], dtype=object)
+
+    line = np.where(is_err, err_line, rdy_line)
+    ids = eid * 2
+    out_lines = list(line)
+    out_ids = list(ids)
+    # bsy continuation lines (plugin order varies with eid%2 of half —
+    # matching must be order-insensitive)
+    for s, d, i in zip(srv[~is_err], dtm[~is_err], eid[~is_err]):
+        if i % 3 == 0:
+            continue
+        a = f"{i % 6} in mod_was_ap22_http.c"
+        b = f"{i % 4} in mod_webgate.c"
+        body = f"{a}, {b}" if (i // 2) % 2 == 0 else f"{b}, {a}"
+        out_lines.append(f"{s} [{d}] [notice] bsy: {body}")
+        out_ids.append(int(i) * 2 + 1)
+    return pa.table(
+        {"line_id": pa.array(out_ids, pa.int64()),
+         "text": pa.array(out_lines, pa.string())}
+    )
+
+
+def synth_error_lines(sf_dir: str) -> "ray.data.Dataset":
+    """events.parquet → (line_id, text) error_log-format lines."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return ds.map_batches(
+        _compose, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768
+    )
+
+
+def parse_error_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M14: error lines → (line_id, srv, dtm, evt_type, client, err, referrer)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], ERROR_RE)
+        keep = pc.is_valid(m)
+        sub = t.filter(keep)
+        ms = pc.extract_regex(sub["text"], ERROR_RE)
+
+        def f(n):
+            return pc.struct_field(ms, n)
+
+        return pa.table(
+            {
+                "line_id": sub["line_id"],
+                "srv": f("srv"),
+                "dtm": f("dtm"),
+                "evt_type": f("evt"),
+                "client": f("client"),
+                "err": f("err"),
+                "referrer": f("ref"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M15+M16+J3: rdy lines ⟕ bsy-by-plugin lines on exact (srv, dtm).
+
+    Both sides are extracted vectorized; the join is a Ray hash join on the
+    composite key; a missing bsy side yields 0 (webErrorLogParser.sh:280-288
+    left semantics). Plugin matching is order-insensitive regex (absent
+    plugin → 0, :192-232)."""
+    from log_parser_ray.stages.aggregate import conform_schema
+
+    def rdy_fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], RDY_RE)
+        sub = t.filter(pc.is_valid(m))
+        ms = pc.extract_regex(sub["text"], RDY_RE)
+
+        def f(n):
+            return pc.struct_field(ms, n)
+
+        cols = {"line_id": sub["line_id"], "srv": f("srv"), "dtm": f("dtm")}
+        for c in ("rdy", "bsy", "rd", "wr", "ka", "log", "dns", "cls"):
+            cols[c] = pc.cast(f(c), pa.int64())
+        return pa.table(cols)
+
+    def bsy_fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], BSY_LINE_RE)
+        sub = t.filter(pc.is_valid(m))
+        ms = pc.extract_regex(sub["text"], BSY_LINE_RE)
+        body = pc.struct_field(ms, "body")
+        wasb = pc.struct_field(pc.extract_regex(body, WAS_BSY_RE), "v")
+        wbgb = pc.struct_field(pc.extract_regex(body, WBG_BSY_RE), "v")
+        return pa.table(
+            {
+                "srv": pc.struct_field(ms, "srv"),
+                "dtm": pc.struct_field(ms, "dtm"),
+                "was_bsy": pc.cast(pc.fill_null(wasb, "0"), pa.int64()),
+                "wbg_bsy": pc.cast(pc.fill_null(wbgb, "0"), pa.int64()),
+            }
+        )
+
+    rdy_schema = pa.schema(
+        [("line_id", pa.int64()), ("srv", pa.string()), ("dtm", pa.string())]
+        + [(c, pa.int64()) for c in ("rdy", "bsy", "rd", "wr", "ka", "log", "dns", "cls")]
+    )
+    bsy_schema = pa.schema(
+        [("srv", pa.string()), ("dtm", pa.string()),
+         ("was_bsy", pa.int64()), ("wbg_bsy", pa.int64())]
+    )
+    rdy = conform_schema(
+        ds.map_batches(rdy_fn, batch_format="pyarrow", zero_copy_batch=True),
+        rdy_schema,
+    )
+    bsy = conform_schema(
+        ds.map_batches(bsy_fn, batch_format="pyarrow", zero_copy_batch=True),
+        bsy_schema,
+    )
+    joined = rdy.join(bsy, "left_outer", 8, on=("srv", "dtm"))
+
+    def fill(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("was_bsy"), "was_bsy",
+            pc.fill_null(t["was_bsy"], 0),
+        )
+        return t.set_column(
+            t.schema.get_field_index("wbg_bsy"), "wbg_bsy",
+            pc.fill_null(t["wbg_bsy"], 0),
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Ground truth for the mpmstats join, straight from events.
+MPMSTATS_TRUTH_CTE = """
+mpm_truth AS (
+  SELECT
+    event_id * 2 AS line_id,
+    'ihs' || CAST(user_id % 4 AS VARCHAR) AS srv,
+    strftime(ts, '%a %b %d %H:%M:%S %Y') AS dtm,
+    CAST(event_id % 50 AS BIGINT) AS rdy,
+    CAST(event_id % 20 AS BIGINT) AS bsy,
+    CAST(event_id % 5 AS BIGINT) AS rd,
+    CAST(event_id % 7 AS BIGINT) AS wr,
+    CAST(event_id % 3 AS BIGINT) AS ka,
+    CAST(event_id % 2 AS BIGINT) AS log,
+    CAST(event_id % 11 AS BIGINT) AS dns,
+    CAST(event_id % 13 AS BIGINT) AS cls,
+    CAST(CASE WHEN event_id % 3 = 0 THEN 0 ELSE event_id % 6 END AS BIGINT) AS was_bsy,
+    CAST(CASE WHEN event_id % 3 = 0 THEN 0 ELSE event_id % 4 END AS BIGINT) AS wbg_bsy
+  FROM events WHERE event_id % 2 = 1
+)
+""".strip()
+
+ERRLOG_TRUTH_CTE = """
+errlog_truth AS (
+  SELECT
+    event_id * 2 AS line_id,
+    'ihs' || CAST(user_id % 4 AS VARCHAR) AS srv,
+    strftime(ts, '%a %b %d %H:%M:%S %Y') AS dtm,
+    CASE WHEN event_id % 4 = 0 THEN 'error' ELSE 'warn' END AS evt_type,
+    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) AS client,
+    'E' || CAST(event_id % 50 AS VARCHAR) || ': lookup failed' AS err,
+    'http://site/p' || CAST(event_id % 20 AS VARCHAR) AS referrer
+  FROM events WHERE event_id % 2 = 0
+)
+""".strip()

@@ -123,6 +123,38 @@ def last_per_conv(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return _per_conv_blocks(keep, last)
 
 
+def hung_thread_stats(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """AG4 stateful ordered aggregate — the hung-thread new/max/remaining
+    summary (websphereLogParser.sh:443-533): per JVM the reference walks the
+    status-ordered hung-thread stream keeping running declared/cleared
+    counters and their running maximum. Transcript analogue: error turns
+    DECLARE a hang, logout turns CLEAR one; per conversation emit
+    (n_declared, n_cleared, remaining, max_remaining) where max_remaining is
+    the peak of the running declared-cleared series in turn order."""
+    keep = parsed.select_columns(["conv_id", "turn_idx", "error_code", "is_logout"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        err = g["error_code"].notna().astype("int64")
+        out = g["is_logout"].astype(bool).astype("int64")
+        run = (err - out).groupby(g["conv_id"].to_numpy(), sort=False).cumsum()
+        res = pd.DataFrame(
+            {"conv_id": g["conv_id"].to_numpy(), "err": err.to_numpy(),
+             "out": out.to_numpy(), "run": run.to_numpy()}
+        )
+        agg = res.groupby("conv_id", sort=False).agg(
+            n_declared=("err", "sum"),
+            n_cleared=("out", "sum"),
+            max_remaining=("run", "max"),
+        )
+        agg["remaining"] = agg["n_declared"] - agg["n_cleared"]
+        return agg.reset_index()[
+            ["conv_id", "n_declared", "n_cleared", "remaining", "max_remaining"]
+        ]
+
+    return _per_conv_blocks(keep, fn)
+
+
 BLOCK_BEGIN = "BEGIN_BLOCK id="
 BLOCK_END = "END_BLOCK"
 

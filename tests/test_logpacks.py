@@ -1,0 +1,206 @@
+"""Real-log-format parse packs: access-log, error-log/mpmstats, GC.
+
+Golden pins use the UA strings the reference documents in its own comments
+(webAccessLogParser.sh:505-524) — the cascade must classify each into the
+same case family; field values are pinned to THIS engine's regex extraction
+(documented deviation from AWK token arithmetic: same fields, same ordering,
+regex-extracted)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def lines_ds(lines, ids=None):
+    ids = ids if ids is not None else list(range(len(lines)))
+    return ray.data.from_arrow(
+        pa.table({"line_id": pa.array(ids, pa.int64()), "text": lines})
+    )
+
+
+# (ua, browser, os_name, os_flav, os_ver) — reference-documented examples
+UA_GOLDEN = [
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 Firefox/38.0",
+     "Firefox/38.0", "Windows NT 6.1", "WOW64", "6.1"),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/44.0.2403.107 Safari/537.36",
+     "Chrome/44.0.2403.107", "Windows NT 6.1", "WOW64", "6.1"),
+    ("Mozilla/5.0 (iPad; CPU OS 8_1_2 like Mac OS X) AppleWebKit/600.1.4 (KHTML, like Gecko) Version/8.0 Mobile/12B440 Safari/600.1.4",
+     "Version/8.0", "iPad", "like Mac OS X", "8_1_2"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 7_0 like Mac OS X) AppleWebKit/537.51.1 (KHTML, like Gecko) Version/7.0 Mobile/11A465 Safari/9537.53",
+     "Version/7.0", "iPhone", "like Mac OS X", "7_0"),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+     "MSIE/11.0", "Windows NT", "WOW64", "6.1"),
+    ("Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 6.0)",
+     "MSIE 7.0", "Windows NT", "", "6.0"),
+    ("Mozilla/5.0 (Linux; Android 5.0; SM-G900W8 Build/LRX21T) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/52.0.2743.98 Mobile Safari/537.36",
+     "Chrome/52.0.2743.98", "Android", "SM-G900W8 Build/LRX21T", "5.0"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/42.0.2311.135 Safari/537.36 Edge/12.10240",
+     "Edge/12.10240", "Windows NT 10.0", "Win64", "10.0"),
+    ("curl/7.29.0", "Other", "Other", "na", "na"),
+]
+
+
+def test_ua_cascade_golden():
+    from log_parser_ray.stages.accesslog import classify_ua
+
+    ua = pa.array([u for u, *_ in UA_GOLDEN])
+    browser, os_name, os_flav, os_ver, unknown = classify_ua(ua)
+    for i, (u, b, on, of, ov) in enumerate(UA_GOLDEN):
+        assert browser[i].as_py() == b, (u, browser[i].as_py())
+        assert os_name[i].as_py() == on, (u, os_name[i].as_py())
+        assert os_flav[i].as_py() == of, (u, os_flav[i].as_py())
+        assert os_ver[i].as_py() == ov, (u, os_ver[i].as_py())
+    assert unknown[len(UA_GOLDEN) - 1].as_py() is True  # curl → side-output
+    assert unknown[0].as_py() is False
+
+
+def test_ua_cascade_sql_matches_arrow():
+    """The generated SQL cascade and the Arrow cascade agree on every golden
+    UA — both engines run RE2, shared patterns."""
+    from log_parser_ray.stages.accesslog import classify_ua, ua_cascade_sql
+
+    ua_strings = [u for u, *_ in UA_GOLDEN]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE uas (ua VARCHAR)")
+    for u in ua_strings:
+        con.execute("INSERT INTO uas VALUES (?)", [u])
+    sql = (
+        f"SELECT {ua_cascade_sql('ua', 'browser')} AS browser, "
+        f"{ua_cascade_sql('ua', 'os_name')} AS os_name, "
+        f"{ua_cascade_sql('ua', 'os_flav')} AS os_flav, "
+        f"{ua_cascade_sql('ua', 'os_ver')} AS os_ver FROM uas"
+    )
+    got_sql = con.execute(sql).df()
+    browser, os_name, os_flav, os_ver, _ = classify_ua(pa.array(ua_strings))
+    assert got_sql["browser"].tolist() == browser.to_pylist()
+    assert got_sql["os_name"].tolist() == os_name.to_pylist()
+    assert got_sql["os_flav"].tolist() == os_flav.to_pylist()
+    assert got_sql["os_ver"].tolist() == os_ver.to_pylist()
+
+
+def test_method_repair(ray_session):
+    """M6: glued params…METHOD tokens repair to the method, residue joins
+    params (webAccessLogParser.sh:327-378,415-420)."""
+    from log_parser_ray.stages.accesslog import parse_access_log
+
+    def mk(reqline):
+        return (
+            f'10.0.0.1 - - [13/Jun/2015:10:32:04 -0400] "{reqline}" 200 10 '
+            f'JSESSIONID="-" UID="u@x" 1000 1 2 "curl/7.29.0" web0'
+        )
+
+    rows = [
+        mk("GET /a/b.html HTTP/1.1"),
+        mk("eventId=409970&consentComments=GET /SysgSso/redirect.jsp HTTP/1.1"),
+        mk("x=1POST /svc/y?q=2 HTTP/1.1"),
+    ]
+    out = parse_access_log(lines_ds(rows)).to_pandas().sort_values("line_id")
+    assert out["request"].tolist() == ["GET", "GET", "POST"]
+    assert out["params"].tolist() == ["", "eventId=409970&consentComments=", "q=2&x=1"]
+    assert out["uri_path"].tolist() == ["/a/b.html", "/SysgSso/redirect.jsp", "/svc/y"]
+
+
+def test_url_decompose_special_cases(ray_session):
+    """M7: `/` root and dotted-first-segment rules (webAccessLogParser.sh:380-414)."""
+    from log_parser_ray.stages.accesslog import parse_access_log
+
+    def mk(uri):
+        return (
+            f'10.0.0.1 - - [13/Jun/2015:10:32:04 -0400] "GET {uri} HTTP/1.1" 200 10 '
+            f'JSESSIONID="-" UID="u@x" 1000 1 2 "curl/7.29.0" web0'
+        )
+
+    rows = [mk("/"), mk("/favicon.ico"), mk("/app/pages/item.jsp"), mk("/svc/data")]
+    out = parse_access_log(lines_ds(rows)).to_pandas().sort_values("line_id")
+    assert out["domain"].tolist() == ["/", "/", "app", "svc"]
+    assert out["page"].tolist() == ["NA", "favicon.ico", "item.jsp", "data"]
+    assert out["ext"].tolist() == ["NA", "ico", "jsp", "NA"]
+
+
+def test_gc_unit_normalization(ray_session):
+    """M18: K/B/M/G → K, incl. the B path absent from the synth grammar."""
+    from log_parser_ray.stages.gclog import parse_gc_lines
+
+    rows = [
+        "jvm0 [GC [PSYoungGen: 10K->5K(100K)] 0.0010000 secs]",
+        "jvm0 [GC [PSYoungGen: 2M->1M(4M)] 0.0010000 secs]",
+        "jvm0 [Full GC [ParOldGen: 1G->1G(2G)] 0.0010000 secs]",
+        "jvm0 [GC [PSYoungGen: 2048B->1024B(4096B)] 0.0010000 secs]",
+    ]
+    out = parse_gc_lines(lines_ds(rows)).to_pandas().sort_values("line_id")
+    assert out["before_k"].tolist() == [10, 2048, 1048576, 2]
+    assert out["after_k"].tolist() == [5, 1024, 1048576, 1]
+    assert out["total_k"].tolist() == [100, 4096, 2097152, 4]
+    assert out["diff_k"].tolist() == [5, 1024, 0, 1]
+    assert out["pause_us"].tolist() == [1000] * 4
+
+
+def test_mpmstats_plugin_order_insensitive(ray_session):
+    """M16: plugin counters match regardless of order; absent plugin → 0."""
+    from log_parser_ray.stages.errorlog import parse_mpmstats
+
+    rdy = "ihs0 [Sun Jun 14 00:00:48 2015] [notice] mpmstats: rdy 50 bsy 10 rd 1 wr 5 ka 3 log 0 dns 0 cls 1"
+    rows = [
+        rdy,
+        "ihs0 [Sun Jun 14 00:00:48 2015] [notice] bsy: 3 in mod_webgate.c, 5 in mod_was_ap22_http.c",
+        "ihs1 [Sun Jun 14 00:00:48 2015] [notice] mpmstats: rdy 9 bsy 2 rd 0 wr 1 ka 0 log 0 dns 0 cls 0",
+    ]
+    out = parse_mpmstats(lines_ds(rows)).to_pandas().sort_values("srv")
+    r0 = out[out["srv"] == "ihs0"].iloc[0]
+    assert (r0["was_bsy"], r0["wbg_bsy"]) == (5, 3)
+    r1 = out[out["srv"] == "ihs1"].iloc[0]
+    assert (r1["was_bsy"], r1["wbg_bsy"]) == (0, 0)  # absent side → 0
+
+
+def test_raw_access_log_file_hourly_vs_duckdb(ray_session, sf_dir, tmp_path):
+    """VERDICT #6: a real access_log FILE (plain + gz) read through
+    read_raw_logs gets real per-line timestamps, and hourly aggregates over
+    it match a DuckDB oracle parsing the same lines."""
+    from log_parser_ray.sources.accesssynth import synth_access_lines
+    from log_parser_ray.sources.rawlogs import read_raw_logs
+    from log_parser_ray.stages.aggregate import grouped_count
+
+    lines = synth_access_lines(sf_dir).to_pandas().sort_values("line_id")
+    half = len(lines) // 2
+    plain = tmp_path / "access_log.0613"
+    gz = tmp_path / "access_log.0614.gz"
+    plain.write_text("\n".join(lines["text"][:half]) + "\n")
+    with gzip.open(gz, "wt") as fh:
+        fh.write("\n".join(lines["text"][half:]) + "\n")
+
+    ds = read_raw_logs(str(tmp_path), file_pattern="access_log")
+    import pyarrow.compute as pc
+
+    with_hour = ds.map_batches(
+        lambda t: t.append_column("hour", pc.cast(pc.hour(t["ts"]), pa.int32())),
+        batch_format="pyarrow",
+    )
+    got = (
+        grouped_count(with_hour, ["hour"], alias="n")
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT CAST(EXTRACT(hour FROM strptime(
+                 regexp_extract(line, '\\[(\\d\\d/\\w+/\\d{{4}}:\\d\\d:\\d\\d:\\d\\d)', 1),
+                 '%d/%b/%Y:%H:%M:%S')) AS INTEGER) AS hour,
+               COUNT(*) AS n
+        FROM (
+          SELECT column0 AS line FROM read_csv(
+            ['{plain}', '{gz}'], delim=chr(7), header=false, quote='')
+        ) GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
