@@ -249,7 +249,11 @@ def minhash_signatures(
     bounded doc-chunk at once and per-doc minima come from
     ``np.minimum.reduceat`` — no per-doc Python in the hash arithmetic."""
     a, b = _perm_params(n_perm)
-    chunk_tokens = 1 << 17  # 64 perms × 128k tokens × 8 B ≈ 64 MB peak
+    # chunk sized so the (n_perm × tokens) temporaries stay CACHE-resident:
+    # 64 × 4096 × 8 B ≈ 2 MB. Measured on this box: the same arithmetic over
+    # a 128k-token chunk (48 MB temporaries) runs ~100× slower — the shared
+    # memory subsystem, not the ALU, is the constraint (BASELINE.md note).
+    chunk_tokens = 1 << 12
 
     def fn(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -430,7 +434,11 @@ def _connected_components(
     is a convergence certificate. Rounds needed = component diameter — small
     by construction here (bucket-min star edges). Covers only nodes with ≥1
     edge; callers add singletons via anti-join."""
-    from log_parser_ray.stages.aggregate import conform_schema, sorted_combine
+    from log_parser_ray.stages.aggregate import (
+        conform_schema,
+        group_safe_map,
+        sorted_combine,
+    )
 
     lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
     sym_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
@@ -447,9 +455,6 @@ def _connected_components(
         sym_schema,
     ).materialize()
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["src"], "label": t["src"]})
-
     def combine_min(d):
         return conform_schema(
             sorted_combine(d, ["node"], [("label", "min")],
@@ -457,18 +462,67 @@ def _connected_components(
             lbl_schema,
         )
 
+    # init: label = min(node, min neighbor) — one combine, saves a round
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["src"], "label": pc.min_element_wise(t["src"], t["dst"])}
+        )
+
     labels = combine_min(
         sym.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
     ).materialize()
+
+    # one propagation round = a SORT-MERGE message pass (cheaper than a hash
+    # join per round): union the edge rows with the label rows keyed by the
+    # sender, co-locate per key via group_safe_map, and emit every sender's
+    # label to each neighbor plus itself; then groupby-min per receiver.
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["src"], "dst": t["dst"],
+             "label": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["node"], "dst": pa.nulls(t.num_rows, pa.int64()),
+             "label": t["label"]}
+        )
+
+    tag_schema = pa.schema(
+        [("key", pa.int64()), ("dst", pa.int64()), ("label", pa.int64())]
+    )
+
+    def emit(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["key"])
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, dst, lab = key[order], dst[order], lab[order]
+        is_lab = ~np.isnan(lab.astype(np.float64)) if lab.dtype != object else np.array([v is not None for v in lab])
+        new_grp = np.concatenate(([True], key[1:] != key[:-1]))
+        gid = np.cumsum(new_grp) - 1
+        # exactly one label row per key (labels covers every sym src)
+        glab = np.full(gid[-1] + 1 if len(gid) else 0, -1, dtype=np.int64)
+        glab[gid[is_lab]] = lab[is_lab].astype(np.int64)
+        per_row = glab[gid]
+        e = ~is_lab
+        nodes = np.concatenate((dst[e].astype(np.int64), key[is_lab]))
+        labs = np.concatenate((per_row[e], lab[is_lab].astype(np.int64)))
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()), "label": pa.array(labs, pa.int64())}
+        )
+
+    tagged_edges = conform_schema(
+        sym.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True),
+        tag_schema,
+    ).materialize()
     prev_sum = labels.sum("label")
     for _ in range(max_iter):
-        msgs = sym.join(labels, "inner", num_partitions, on=("src",), right_on=("node",))
-
-        def msg_to_label(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["dst"], "label": t["label"]})
-
-        prop = msgs.map_batches(msg_to_label, batch_format="pyarrow", zero_copy_batch=True)
-        labels = combine_min(labels.union(prop)).materialize()
+        tagged = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        prop = group_safe_map(tagged, ["key"], emit)
+        labels = combine_min(prop).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break
