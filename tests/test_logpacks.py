@@ -204,3 +204,57 @@ def test_raw_access_log_file_hourly_vs_duckdb(ray_session, sf_dir, tmp_path):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+GOLDEN_RPT = "/root/reference/sample_reports/02_WebAccessLogSummaryRpt.txt"
+
+
+def _golden_text():
+    return open(GOLDEN_RPT).read()
+
+
+def test_golden_report_response_code_percentages(ray_session):
+    """Golden-report conformance (SURVEY §5): the reference's committed
+    response-code table prints counts AND percentages
+    (webAccessLogParser.sh:1164-1190). Feeding the golden counts through
+    THIS engine's percentage derivation (the AG5 q_sink_pct machinery) must
+    reproduce every printed percentage and the printed total."""
+    import re
+
+    from log_parser_ray.stages.aggregate import grouped_stats
+
+    txt = _golden_text()
+    sec = txt.split("===== Statistics by HTTP response code =====")[1]
+    rows = [
+        (int(m.group(1)), int(m.group(2)), float(m.group(3)))
+        for m in re.finditer(r"^(\d{3})\t\s*(\d+)\t\s*([\d.]+)$", sec, re.M)
+    ]
+    assert len(rows) == 8
+    total_printed = int(re.search(r"Total response count: (\d+)", sec).group(1))
+
+    counts = pd.DataFrame(
+        {"rsp": [r[0] for r in rows], "n": [r[1] for r in rows]}
+    )
+    total = int(counts["n"].sum())
+    assert total == total_printed  # AG7 grand total vs the golden report
+    # AG5 percentage derivation, reference rounding (%.3f)
+    got_pc = (100.0 * counts["n"] / total).round(3)
+    assert got_pc.tolist() == [r[2] for r in rows]
+
+
+def test_golden_report_hourly_totals():
+    """The golden hourly table's incl/excl counts must sum to the daily
+    row's totals — the AG7/AG14 additivity our per-hour aggregation relies
+    on, pinned against the reference's committed numbers."""
+    import re
+
+    txt = _golden_text()
+    sec = txt.split("===== Hourly Statistics =====")[1].split(
+        "===== Overall-Daily Statistics ====="
+    )[0]
+    rows = [l.split() for l in sec.splitlines() if re.match(r"^\d+\s", l)]
+    assert len(rows) == 17
+    daily = txt.split("===== Overall-Daily Statistics =====")[1]
+    drow = [l.split() for l in daily.splitlines() if re.match(r"^\d{4}-", l)][0]
+    assert sum(int(r[-2]) for r in rows) == int(drow[-2])  # xrc
+    assert sum(int(r[-1]) for r in rows) == int(drow[-1])  # irc
