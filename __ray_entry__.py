@@ -498,6 +498,61 @@ def q_hung_thread_stats(sf_dir: str):
     return sess.hung_thread_stats(_parsed(sf_dir))
 
 
+STATIC_EXTS = ["jpg", "gif", "png", "ico", "js", "cgi", "css", "htm", "html",
+               "pdf", "txt"]
+
+
+def q_access_hourly_xcl(sf_dir: str):
+    """M13+A14: the golden hourly-table shape — per hour, request count
+    INCLUDING static content (irc) and EXCLUDING it (xrc, the reference's
+    ext-based exclusion predicate, webAccessLogParser.sh:742)."""
+    import pyarrow as pa
+
+    def derive(t):
+        is_static = pc.is_in(t["ext"], value_set=pa.array(STATIC_EXTS))
+        return t.append_column(
+            "is_app", pc.cast(pc.invert(is_static), pa.int64())
+        )
+
+    ds = _access_parsed(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stats = grouped_stats(ds, ["hour"], "is_app", count="irc", sum_="xrc").to_pandas()
+    return stats.sort_values("hour").reset_index(drop=True)
+
+
+def q_access_browser_users(sf_dir: str):
+    """D3: browser usage by DISTINCT user (webAccessLogParser.sh:735-736,
+    1200-1216)."""
+    ds = _keep_nonblank(_access_parsed(sf_dir), "uid")
+    return distinct_count(ds, ["browser"], "uid", alias="n_users")
+
+
+def q_access_ext_rollup(sf_dir: str):
+    """A15: per-extension count + response-time sum."""
+    return grouped_stats(_access_parsed(sf_dir), ["ext"], "rt_us",
+                         count="n", sum_="sum_rt_us")
+
+
+def q_tool_usage_ranking(sf_dir: str):
+    """K6/K8 unlimited ranking: full sorted tool-usage table, no limit —
+    the reference materializes the complete sorted file
+    (webAccessLogParser.sh:1440-1513)."""
+    counts = grouped_count(_keep(_parsed(sf_dir), "tool_name"),
+                           ["tool_name"], alias="n").to_pandas()
+    return counts.sort_values(["n", "tool_name"], ascending=[False, True]).reset_index(drop=True)
+
+
+def _keep_nonblank(ds, col):
+    return ds.map_batches(
+        lambda t, c=col: t.filter(
+            pc.and_(pc.is_valid(t[c]), pc.invert(pc.equal(t[c], "-")))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # error-log + mpmstats pack (M14–M16, J3, A19, AG2) and GC pack (M17–M19,
 # A20/A21) — same synthesize-and-invert scheme as the access pack
@@ -773,6 +828,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_baseline_deviation": q_access_baseline_deviation,
         "access_top_slow_uris": q_access_top_slow_uris,
         "hung_thread_stats": q_hung_thread_stats,
+        "access_hourly_xcl": q_access_hourly_xcl,
+        "access_browser_users": q_access_browser_users,
+        "access_ext_rollup": q_access_ext_rollup,
+        "tool_usage_ranking": q_tool_usage_ranking,
         "errorlog_rows": q_errorlog_rows,
         "errorlog_counts": q_errorlog_counts,
         "mpmstats_join": q_mpmstats_join,
@@ -1025,6 +1084,22 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_rem
                FROM parsed)
              GROUP BY conv_id""",
+        "access_hourly_xcl": A
+        + f"""SELECT hour, COUNT(*) AS irc,
+                     CAST(SUM(CASE WHEN ext IN ({', '.join(f"'{e}'" for e in STATIC_EXTS)})
+                              THEN 0 ELSE 1 END) AS BIGINT) AS xrc
+              FROM access_truth GROUP BY hour""",
+        "access_browser_users": A
+        + """SELECT browser, COUNT(DISTINCT uid) AS n_users
+             FROM access_truth WHERE uid IS NOT NULL AND uid <> '-'
+             GROUP BY browser""",
+        "access_ext_rollup": A
+        + """SELECT ext, COUNT(rt_us) AS n, CAST(SUM(rt_us) AS BIGINT) AS sum_rt_us
+             FROM access_truth GROUP BY ext""",
+        "tool_usage_ranking": P
+        + """SELECT tool_name, COUNT(*) AS n FROM parsed
+             WHERE tool_name IS NOT NULL GROUP BY tool_name
+             ORDER BY n DESC, tool_name""",
         # --- error-log / mpmstats / GC packs: oracle = events-derived truth ---
         "errorlog_rows": E + "SELECT * FROM errlog_truth",
         "errorlog_counts": E

@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "knn_cosine",
     "curate_report",
     "lineitem_pricing",
+    # round-2 real-log-format packs
+    "access_parsed_rows",
+    "access_hourly_xcl",
+    "mpmstats_join",
+    "gc_pause_summary",
+    "hung_thread_stats",
 ]
 
 

@@ -167,6 +167,101 @@ def knn_ivf(
     return df.reset_index(drop=True)
 
 
+def ivf_index_write(
+    emb: "ray.data.Dataset", centroids: np.ndarray, path: str
+) -> None:
+    """Materialize the IVF layout: assign every vector to its nearest coarse
+    centroid and write centroid-PARTITIONED Parquet (path/cent=<c>/…).
+
+    This is the partition-by-centroid scale path the in-memory knn_ivf only
+    simulates: at 100 TB the assignment is the partitioning key, so a probe
+    touches only its partitions' bytes — the read below prunes whole hive
+    directories via the partition filter, never scanning unprobed cells."""
+    cn = _normalize(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t["embedding"]))
+        cent = (m @ cn.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cent", pa.array(cent, pa.int32()))
+
+    emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        path, partition_cols=["cent"]
+    )
+
+
+def knn_ivf_indexed(
+    path: str,
+    query_ids: np.ndarray,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """ANN over a centroid-partitioned index: read ONLY the probed
+    partitions' directories (unprobed cells contribute zero bytes), exact
+    cosine within them. Output shape = knn_bruteforce."""
+    import os
+
+    qn = _normalize(queries)
+    cn = _normalize(centroids)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    probed_cents = sorted({int(c) for row in probes for c in row})
+
+    # directory-level pruning: each cent=<c> hive dir is one IVF cell
+    parts = []
+    for c in probed_cents:
+        d = os.path.join(path, f"cent={c}")
+        if not os.path.isdir(d):
+            continue
+        cell = ray.data.read_parquet(d)
+
+        def with_cent(t: pa.Table, cc=c) -> pa.Table:
+            col = pa.array(np.full(t.num_rows, cc, np.int32))
+            if "cent" in t.column_names:  # hive key inferred by the reader
+                return t.set_column(t.schema.get_field_index("cent"), "cent", col)
+            return t.append_column("cent", col)
+
+        parts.append(
+            cell.map_batches(with_cent, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    emb = parts[0]
+    for p in parts[1:]:
+        emb = emb.union(p)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        cents = t["cent"].to_numpy()
+        m = _normalize(_to_matrix(t["embedding"]))
+        out_q, out_v, out_s = [], [], []
+        for j in range(qn.shape[0]):
+            mask = np.isin(cents, probes[j])
+            if exclude_self:
+                mask &= ids != query_ids[j]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ qn[j]
+            top = np.lexsort((ids[cand], -s))[:k]
+            out_q.extend([query_ids[j]] * len(top))
+            out_v.extend(ids[cand[top]])
+            out_s.extend(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = cand.to_pandas()
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["sim"] = df["sim"].round(6)
+    return df.reset_index(drop=True)
+
+
 def cosine_near_dup_pairs(
     emb: "ray.data.Dataset", full_matrix_ids: np.ndarray, full_matrix: np.ndarray,
     threshold: float = 0.4,

@@ -248,3 +248,28 @@ def test_curate_pipeline(ray_session, tmp_path):
     assert res["kept"] == 2
     written = pq.read_table(out_dir).to_pandas()
     assert sorted(written["doc_id"]) == [0, 4]
+
+
+def test_ivf_indexed_matches_inmemory(ray_session, tmp_path):
+    """The centroid-partitioned IVF index returns exactly the in-memory
+    knn_ivf results (same probes, same vectors), while reading only the
+    probed partitions."""
+    import os
+
+    rs = np.random.RandomState(11)
+    centers = rs.standard_normal((4, 8)) * 4
+    m = np.vstack([c + rs.standard_normal((30, 8)) for c in centers])
+    ds = emb_ds(m)
+    qids = np.array([0, 40, 75])
+    qm = m[[0, 40, 75]].astype(np.float32).astype(np.float64)
+    cents = sim.kmeans_fit(m.astype(np.float32).astype(np.float64), n_clusters=4)
+
+    idx = str(tmp_path / "ivf")
+    sim.ivf_index_write(ds, cents, idx)
+    assert any(d.startswith("cent=") for d in os.listdir(idx))
+
+    got = sim.knn_ivf_indexed(idx, qids, qm, cents, k=5, nprobe=2)
+    want = sim.knn_ivf(ds, qids, qm, cents, k=5, nprobe=2)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
