@@ -37,6 +37,10 @@ def _init_ray(num_cpus: int):
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # workers' benign schema-hash warnings otherwise flood the
+            # bench output (Ray logs them per block on metadata-bearing
+            # parquet schemas); the bench reads only its own JSON line
+            log_to_driver=False,
         )
     from ray.data import DataContext
 

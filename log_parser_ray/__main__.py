@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     src.add_argument("--input", help="transcript Parquet path/dir (conv_id, turn_idx, role, text, tool, ts)")
     src.add_argument("--events-sf", help="testdata sf dir: derive transcripts from events.parquet")
     src.add_argument("--raw-logs", help="dir (or file) of plain/.gz text logs — the reference's input format")
+    src.add_argument("--access-logs", help="dir (or file) of Apache/IHS access_log files: "
+                     "full webAccessLogParser-shape run (routed sinks + summary report)")
     ap.add_argument("--file-pattern", default=None,
                     help="--raw-logs: substring filter on file names (date-rotation predicate)")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
@@ -43,6 +45,17 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.access_logs:
+        from log_parser_ray.pipelines import weblog
+
+        res = weblog.run(args.access_logs, args.out, file_pattern=args.file_pattern)
+        print(json.dumps({
+            "total": res["total"],
+            "report": res["report_path"],
+            "hours": int(len(res["hourly"])),
+        }, sort_keys=True))
+        return 0
 
     if args.input:
         from log_parser_ray.sources.transcripts import read_transcripts

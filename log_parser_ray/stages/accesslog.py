@@ -365,7 +365,10 @@ def make_access_parser(clone_map: dict[str, str] | None = None):
         }
         res = batch
         for name, col in out.items():
-            res = res.append_column(name, col)
+            if name in res.column_names:  # e.g. transcript-schema `ts`
+                res = res.set_column(res.schema.get_field_index(name), name, col)
+            else:
+                res = res.append_column(name, col)
         return res
 
     return parse

@@ -258,3 +258,42 @@ def test_golden_report_hourly_totals():
     drow = [l.split() for l in daily.splitlines() if re.match(r"^\d{4}-", l)][0]
     assert sum(int(r[-2]) for r in rows) == int(drow[-2])  # xrc
     assert sum(int(r[-1]) for r in rows) == int(drow[-1])  # irc
+
+
+def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
+    """The full webAccessLogParser-shape run over real files: routed sinks,
+    report tables, and the rendered summary report — numbers cross-checked
+    against the events-derived DuckDB truth."""
+    from log_parser_ray.pipelines import weblog
+    from log_parser_ray.sources.accesssynth import access_truth_cte, synth_access_lines
+
+    lines = synth_access_lines(sf_dir).to_pandas().sort_values("line_id")
+    logf = tmp_path / "access_log.1103"
+    logf.write_text("\n".join(lines["text"]) + "\n")
+
+    out = str(tmp_path / "rpt")
+    res = weblog.run(str(tmp_path), out, file_pattern="access_log")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    truth = con.execute(
+        "WITH " + access_truth_cte()
+        + " SELECT response, COUNT(*) AS cnt FROM access_truth"
+          " WHERE sink = 'parsed' GROUP BY response ORDER BY response"
+    ).df()
+    rc = res["response_codes"]
+    assert rc["response"].tolist() == truth["response"].tolist()
+    assert rc["cnt"].tolist() == truth["cnt"].tolist()
+    assert res["total"] == int(truth["cnt"].sum())
+    # percentage arithmetic identical to the golden-report rule
+    assert rc["pc"].tolist() == (100.0 * rc["cnt"] / res["total"]).round(3).tolist()
+    # hourly additivity: per-hour incl counts sum to the daily total
+    assert int(res["hourly"]["irc"].sum()) == res["total"]
+    assert (res["hourly"]["xrc"] <= res["hourly"]["irc"]).all()
+    # rendered report exists with the golden section headers
+    txt = open(res["report_path"]).read()
+    assert "===== Hourly Statistics =====" in txt
+    assert "===== Statistics by HTTP response code =====" in txt
+    assert f"Total response count: {res['total']}" in txt
+    # routed sinks written
+    assert os.path.isdir(os.path.join(out, "routed", "sink=parsed"))
