@@ -607,6 +607,34 @@ def q_gc_pause_summary(sf_dir: str):
     return stats.sort_values(["jvm", "gc_type"]).reset_index(drop=True)
 
 
+from log_parser_ray.stages.waslog import (
+    parse_was_lines,
+    synth_was_lines,
+    tto_correlate,
+)
+
+
+def q_was_parsed_rows(sf_dir: str):
+    """M3 WAS SystemOut field extraction: full row equality vs events truth."""
+    return parse_was_lines(synth_was_lines(sf_dir))
+
+
+def q_was_event_counts(sf_dir: str):
+    """A1: (server, eventType) counts over the real WAS grammar."""
+    return grouped_count(q_was_parsed_rows(sf_dir), ["srv", "evt_type"], alias="n")
+
+
+def q_was_msgid_counts(sf_dir: str):
+    """A3: (msgId, eventType) counts."""
+    return grouped_count(q_was_parsed_rows(sf_dir), ["msg_id", "evt_type"], alias="n")
+
+
+def q_was_tto_pairs(sf_dir: str):
+    """J2/ST6 on the REAL msgIds: WTRN0124I completions joined as-of to the
+    most recent prior WTRN0006W declare per (server, thread)."""
+    return tto_correlate(q_was_parsed_rows(sf_dir))
+
+
 def q_gc_threshold_exceeds(sf_dir: str):
     """A21: per jvm, count of full GCs leaving old-gen usage above the
     threshold (javaGCStatsParser.sh:474-489)."""
@@ -839,6 +867,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gc_parsed_rows": q_gc_parsed_rows,
         "gc_pause_summary": q_gc_pause_summary,
         "gc_threshold_exceeds": q_gc_threshold_exceeds,
+        "was_parsed_rows": q_was_parsed_rows,
+        "was_event_counts": q_was_event_counts,
+        "was_msgid_counts": q_was_msgid_counts,
+        "was_tto_pairs": q_was_tto_pairs,
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
@@ -868,12 +900,14 @@ def _baseline_keys() -> str:
 def oracle_sql() -> dict[str, str]:
     from log_parser_ray.stages.errorlog import ERRLOG_TRUTH_CTE, MPMSTATS_TRUTH_CTE
     from log_parser_ray.stages.gclog import GC_TRUTH_CTE
+    from log_parser_ray.stages.waslog import WAS_TRUTH_CTE
 
     P = _SQL_PREFIX
     A = "WITH " + access_truth_cte() + "\n"
     E = "WITH " + ERRLOG_TRUTH_CTE + "\n"
     M = "WITH " + MPMSTATS_TRUTH_CTE + "\n"
     G = "WITH " + GC_TRUTH_CTE + "\n"
+    W = "WITH " + WAS_TRUTH_CTE + "\n"
     th = THRESHOLDS["conv.errCntTh"]
     pivot_cols = ", ".join(
         f"CAST(SUM(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
@@ -1118,6 +1152,27 @@ def oracle_sql() -> dict[str, str]:
         "gc_threshold_exceeds": G
         + """SELECT jvm, COUNT(*) AS n_exceed FROM gc_truth
              WHERE gc_type = 'Full GC' AND pct_after > 3.0 GROUP BY jvm""",
+        "was_parsed_rows": W + "SELECT * FROM was_truth",
+        "was_event_counts": W
+        + "SELECT srv, evt_type, COUNT(*) AS n FROM was_truth GROUP BY srv, evt_type",
+        "was_msgid_counts": W
+        + "SELECT msg_id, evt_type, COUNT(*) AS n FROM was_truth GROUP BY msg_id, evt_type",
+        "was_tto_pairs": W
+        + """SELECT line_id, srv, thread, tran_id, timeout_s, declare_line FROM (
+               SELECT line_id, srv, thread, msg_id,
+                 last_value(CASE WHEN msg_id = 'WTRN0006W'
+                                 THEN 'T' || CAST(line_id AS VARCHAR) END IGNORE NULLS)
+                   OVER w AS tran_id,
+                 CAST(last_value(CASE WHEN msg_id = 'WTRN0006W'
+                                      THEN line_id % 120 + 1 END IGNORE NULLS)
+                      OVER w AS DOUBLE) AS timeout_s,
+                 CAST(last_value(CASE WHEN msg_id = 'WTRN0006W'
+                                      THEN line_id END IGNORE NULLS)
+                      OVER w AS DOUBLE) AS declare_line
+               FROM was_truth
+               WINDOW w AS (PARTITION BY srv, thread ORDER BY line_id
+                            ROWS UNBOUNDED PRECEDING)
+             ) WHERE msg_id = 'WTRN0124I'""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,
