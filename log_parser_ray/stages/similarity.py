@@ -297,6 +297,73 @@ def cosine_near_dup_pairs(
     return df.reset_index(drop=True)
 
 
+def cosine_near_dup_pairs_bucketed(
+    emb: "ray.data.Dataset",
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    n_assign: int = 2,
+) -> pd.DataFrame:
+    """Embedding near-dup pairs WITHOUT the broadcast matrix — the scale
+    path. Each vector is assigned to its ``n_assign`` nearest coarse
+    centroids (multi-assignment recovers most near-boundary pairs); the
+    shuffle is groupby(cell) over (cell, vec_id, vec-bytes) rows, candidate
+    pairs are emitted per cell, and exact cosine verifies each pair —
+    precision 1.0, recall bounded by co-assignment (two vectors with
+    cosine ≥ threshold that share no cell are missed; raise n_assign or
+    centroid count to trade recall vs cell size). Same bucket-join shape as
+    MinHash LSH — nothing is broadcast, nothing is O(n²)."""
+    from log_parser_ray.stages.dedup import _pairs_from_buckets
+
+    cn = _normalize(centroids)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(t["embedding"]))
+        sims = m @ cn.T
+        top = np.argsort(-sims, axis=1)[:, :n_assign]
+        n = len(ids)
+        cells = top.reshape(-1).astype(np.int64)
+        out_ids = np.repeat(ids, n_assign)
+        payload = [m[i].astype(np.float64).tobytes() for i in range(n) for _ in range(n_assign)]
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "vec": pa.array(payload, pa.binary()),
+            }
+        )
+
+    exploded = emb.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _pairs_from_buckets(exploded, "cell", "vec_id", payload_col="vec")
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["a_pl"].to_pylist()
+        b = t["b_pl"].to_pylist()
+        sims = np.fromiter(
+            (float(np.frombuffer(x, np.float64) @ np.frombuffer(y, np.float64))
+             for x, y in zip(a, b)),
+            np.float64, len(a),
+        )
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "a_id": pa.array(t["a_id"].to_numpy()[keep], pa.int64()),
+                "b_id": pa.array(t["b_id"].to_numpy()[keep], pa.int64()),
+                "sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+            }
+        )
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    from log_parser_ray.stages.aggregate import sorted_combine
+
+    # a pair co-assigned to several cells appears once per shared cell
+    dedup = sorted_combine(
+        verified, ["a_id", "b_id"], [("sim", "min")],
+        renames={"sim_min": "sim"}, keep=["a_id", "b_id", "sim"],
+    ).to_pandas()
+    return dedup.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Full (ids, matrix) of the embeddings table — the small broadcast side."""
     import pyarrow.parquet as pq

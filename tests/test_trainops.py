@@ -273,3 +273,25 @@ def test_ivf_indexed_matches_inmemory(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_cosine_bucketed_recall_and_precision(ray_session):
+    """The bucketed (no-broadcast) near-dup path: precision 1.0 by exact
+    verify; recall vs the exact all-pairs route high on clustered data."""
+    rs = np.random.RandomState(5)
+    centers = rs.standard_normal((5, 12)) * 3
+    m = np.vstack([c + 0.3 * rs.standard_normal((24, 12)) for c in centers])
+    ds = emb_ds(m)
+    ids = np.arange(len(m))
+    m64 = m.astype(np.float32).astype(np.float64)
+    exact = sim.cosine_near_dup_pairs(ds, ids, m64, threshold=0.9)
+    cents = sim.kmeans_fit(m64, n_clusters=5)
+    got = sim.cosine_near_dup_pairs_bucketed(ds, cents, threshold=0.9, n_assign=2)
+    exact_pairs = set(zip(exact["a_id"], exact["b_id"]))
+    got_pairs = set(zip(got["a_id"], got["b_id"]))
+    assert got_pairs <= exact_pairs              # precision 1.0
+    assert len(got_pairs) / max(len(exact_pairs), 1) >= 0.9  # recall
+    # sims agree with the exact route on shared pairs
+    esim = {(a, b): s for a, b, s in zip(exact["a_id"], exact["b_id"], exact["sim"])}
+    for a, b, s in zip(got["a_id"], got["b_id"], got["sim"]):
+        assert abs(esim[(a, b)] - s) < 1e-6
