@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     src.add_argument("--raw-logs", help="dir (or file) of plain/.gz text logs — the reference's input format")
     src.add_argument("--access-logs", help="dir (or file) of Apache/IHS access_log files: "
                      "full webAccessLogParser-shape run (routed sinks + summary report)")
+    src.add_argument("--master-logs", help="dir of mixed real log files: run every "
+                     "applicable parser family (masterLogParser.sh analogue)")
     ap.add_argument("--file-pattern", default=None,
                     help="--raw-logs: substring filter on file names (date-rotation predicate)")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
@@ -45,6 +47,13 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.master_logs:
+        from log_parser_ray.pipelines import master
+
+        results = master.run(args.master_logs, args.out)
+        print(json.dumps({"families": results}, sort_keys=True))
+        return 0
 
     if args.access_logs:
         from log_parser_ray.pipelines import weblog

@@ -1,0 +1,109 @@
+"""Master orchestrator — the masterLogParser.sh analogue (S4) over REAL
+log files.
+
+The reference runs its four parsers sequentially with the same CLI args
+(masterLogParser.sh:30-42). Here one Ray session dispatches each log family
+by filename pattern to its parse pack and writes per-family parsed parquet
+plus a combined run manifest line per family (S5 lineage):
+
+    access_log*      → stages/accesslog   (+ weblog report suite)
+    error_log*       → stages/errorlog    (error rows + mpmstats join)
+    SystemOut*       → stages/waslog      (rows + tto correlation)
+    native_stdout*   → stages/gclog       (GC rows)
+
+Families with no matching files are skipped (the reference's parsers each
+no-op on empty discovery). Returns per-family row counts.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import ray.data
+
+from log_parser_ray.state.manifest import PartitionRecord, RunManifest
+
+FAMILIES = {
+    "access": "access_log",
+    "error": "error_log",
+    "was": "SystemOut",
+    "gc": "native_stdout",
+}
+
+
+def _has_files(root: str, pattern: str) -> bool:
+    if os.path.isfile(root):
+        return pattern in os.path.basename(root)
+    return any(pattern in n for n in os.listdir(root))
+
+
+def run(log_dir: str, out_dir: str) -> dict:
+    """Run every applicable parser family over ``log_dir``; returns
+    {family: rows}."""
+    from log_parser_ray.pipelines import weblog
+    from log_parser_ray.sources.rawlogs import read_raw_logs
+    from log_parser_ray.stages.errorlog import parse_error_lines, parse_mpmstats
+    from log_parser_ray.stages.gclog import parse_gc_lines
+    from log_parser_ray.stages.waslog import parse_was_lines, tto_correlate
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = RunManifest(out_dir)
+    results: dict[str, int] = {}
+
+    def lines_for(pattern: str) -> "ray.data.Dataset":
+        ds = read_raw_logs(log_dir, file_pattern=pattern)
+        # line_id for the packs' per-line outputs: the per-file line number
+        import pyarrow as pa
+
+        def ids(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "line_id", pa.compute.cast(t["turn_idx"], pa.int64())
+            )
+
+        return ds.map_batches(ids, batch_format="pyarrow", zero_copy_batch=True)
+
+    def record(family: str, rows: int, t0: float) -> None:
+        results[family] = rows
+        manifest.append(
+            PartitionRecord(
+                partition=f"family={family}",
+                status="done",
+                input=f"{log_dir} ({FAMILIES[family]}*)",
+                rows_in=rows,
+                rows_routed=rows,
+                sink_counts={family: rows},
+                wall_s=time.perf_counter() - t0,
+            )
+        )
+
+    if _has_files(log_dir, FAMILIES["access"]):
+        t0 = time.perf_counter()
+        res = weblog.run(log_dir, os.path.join(out_dir, "access"),
+                         file_pattern=FAMILIES["access"])
+        record("access", int(res["hourly"]["irc"].sum()), t0)
+
+    if _has_files(log_dir, FAMILIES["error"]):
+        t0 = time.perf_counter()
+        lines = lines_for(FAMILIES["error"])
+        errs = parse_error_lines(lines)
+        errs.write_parquet(os.path.join(out_dir, "error", "rows"))
+        mpm = parse_mpmstats(lines)
+        mpm.write_parquet(os.path.join(out_dir, "error", "mpmstats"))
+        n = ray.data.read_parquet(os.path.join(out_dir, "error", "rows")).count()
+        record("error", int(n), t0)
+
+    if _has_files(log_dir, FAMILIES["was"]):
+        t0 = time.perf_counter()
+        parsed = parse_was_lines(lines_for(FAMILIES["was"])).materialize()
+        parsed.write_parquet(os.path.join(out_dir, "was", "rows"))
+        tto_correlate(parsed).write_parquet(os.path.join(out_dir, "was", "tto"))
+        record("was", int(parsed.count()), t0)
+
+    if _has_files(log_dir, FAMILIES["gc"]):
+        t0 = time.perf_counter()
+        gc = parse_gc_lines(lines_for(FAMILIES["gc"])).materialize()
+        gc.write_parquet(os.path.join(out_dir, "gc", "rows"))
+        record("gc", int(gc.count()), t0)
+
+    return results

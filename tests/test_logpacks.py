@@ -297,3 +297,45 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
     assert f"Total response count: {res['total']}" in txt
     # routed sinks written
     assert os.path.isdir(os.path.join(out, "routed", "sink=parsed"))
+
+
+def test_master_orchestrator(ray_session, sf_dir, tmp_path):
+    """S4: one run dispatches every log family by filename pattern, writes
+    per-family parquet, and records S5 lineage per family."""
+    import glob
+    import json
+
+    import ray.data as rd
+
+    from log_parser_ray.pipelines import master
+    from log_parser_ray.sources.accesssynth import synth_access_lines
+    from log_parser_ray.stages.errorlog import synth_error_lines
+    from log_parser_ray.stages.gclog import synth_gc_lines
+    from log_parser_ray.stages.waslog import synth_was_lines
+
+    logd = tmp_path / "logs"
+    logd.mkdir()
+    for name, synth in [
+        ("access_log.1103", synth_access_lines),
+        ("error_log.1103", synth_error_lines),
+        ("SystemOut.log", synth_was_lines),
+        ("native_stdout.log", synth_gc_lines),
+    ]:
+        df = synth(sf_dir).to_pandas().sort_values("line_id")
+        (logd / name).write_text("\n".join(df["text"]) + "\n")
+
+    out = str(tmp_path / "master_out")
+    res = master.run(str(logd), out)
+    assert set(res) == {"access", "error", "was", "gc"}
+    assert res["gc"] == 1000  # every GC line parses
+    assert res["was"] == 1000
+    assert res["error"] == 500  # error lines are the eid%2==0 half
+    # per-family lineage lines
+    lines = []
+    for f in glob.glob(os.path.join(out, "_manifest-*.jsonl")):
+        lines += [json.loads(l) for l in open(f) if l.strip()]
+    assert sorted(l["partition"] for l in lines if l["status"] == "done") == [
+        "family=access", "family=error", "family=gc", "family=was",
+    ]
+    # parsed parquet written per family
+    assert rd.read_parquet(os.path.join(out, "was", "tto")).count() > 0
