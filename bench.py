@@ -48,26 +48,32 @@ def _init_ray(num_cpus: int):
     ctx.enable_progress_bars = False
 
 
-def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
-    """End-to-end parse→enrich→route(write)→aggregate; returns rows + wall_s.
+def _corpus_path(sf_dir: str, repeat: int) -> str:
+    """Materialize the ×repeat transcript corpus as a REAL transcript
+    parquet dir once per (sf, repeat) and reuse it across protocol runs.
 
-    ``repeat`` unions N reads of the same input so the job is compute-bound
-    rather than fixed-overhead-bound — the scaling comparison needs runs long
-    enough that actor spin-up and shuffle latency amortize (a 100k-row run
-    finishes in seconds at any CPU count and measures only noise)."""
-    import tempfile
+    Two reasons this is the honest benchmark input (round-2 postmortem):
+    the contract's input IS a Parquet transcript table (BASELINE.json
+    input_hint), and an in-pipeline replicate stage destroys parallelism —
+    map_batches bundles by PRE-replicate input rows, so a ×48 in-batch
+    fan-out collapsed the whole fused parse→enrich chain to ⌈100k/32768⌉ = 4
+    tasks regardless of CPU count (measured via ds.stats; the round-1/round-2
+    flagship scaling plateau was largely this artifact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from log_parser_ray.pipelines import flagship
     from log_parser_ray.sources.transcripts import transcripts_from_events
 
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/bench_corpus_{tag}_x{repeat}"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
     tr = transcripts_from_events(sf_dir)
     if repeat > 1:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         def replicate(t, n=repeat):
-            # read once, fan out in-batch: each replica gets a distinct
-            # conv_id suffix so group cardinality scales with the data
+            # each replica gets a distinct conv_id suffix so group
+            # cardinality scales with the data
             parts = []
             idx = t.schema.get_field_index("conv_id")
             for i in range(n):
@@ -76,8 +82,32 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
             return pa.concat_tables(parts)
 
         tr = tr.map_batches(
-            replicate, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+            replicate, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
         )
+    tmp = path + f".tmp.{os.getpid()}"
+    tr.write_parquet(tmp, min_rows_per_file=200_000, max_rows_per_file=400_000)
+    try:
+        os.rename(tmp, path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    except OSError:
+        # lost a concurrent race; the winner's corpus is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
+    """End-to-end parse→enrich→route(write)→aggregate over a REAL transcript
+    parquet corpus of ×repeat scale; returns rows + wall_s."""
+    import tempfile
+
+    import ray.data
+
+    from log_parser_ray.pipelines import flagship
+
+    tr = ray.data.read_parquet(_corpus_path(sf_dir, repeat))
     out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
     t0 = time.perf_counter()
     res = flagship.run(tr, out_dir=out_dir)
