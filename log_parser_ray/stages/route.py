@@ -63,7 +63,11 @@ def write_batch_sinks(batch, out_dir: str) -> None:
         sub = body.filter(pc.equal(enc.indices, i))
         d = os.path.join(out_dir, f"sink={s}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sub, os.path.join(d, f"part-{fp}.parquet"))
+        # zstd: ~2× smaller text payloads than snappy for a little CPU —
+        # trades shared-memory-bus bytes (the single-box scaling ceiling,
+        # BASELINE.md) for per-core compute, and halves the 100 TB sink
+        pq.write_table(sub, os.path.join(d, f"part-{fp}.parquet"),
+                       compression="zstd", compression_level=1)
 
 
 class EnrichWriteProject:
