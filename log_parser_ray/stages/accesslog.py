@@ -161,21 +161,36 @@ def _ua_value(ua, spec):
 def classify_ua(ua: pa.ChunkedArray | pa.Array):
     """(browser, os_name, os_flav, os_ver, ua_unknown) columns via the
     ordered cascade — evaluated back-to-front with if_else so the FIRST
-    matching case wins, like the AWK switch."""
-    n = len(ua)
+    matching case wins, like the AWK switch.
+
+    UA columns are massively repetitive (a day of traffic has dozens of
+    distinct agents, not millions), so the cascade's ~45 regex passes run
+    over the DICTIONARY of unique values only, then a C-speed take maps
+    every row — same trick as the enrich broadcast lookup."""
+    arr = ua.combine_chunks() if isinstance(ua, pa.ChunkedArray) else ua
+    arr = pc.fill_null(arr, "")  # unmatched rows classify as Other, not null
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary
+    if len(uniq) == 0:
+        empty = pa.array([], pa.string())
+        return empty, empty, empty, empty, pa.array([], pa.bool_())
+
+    n = len(uniq)
     browser = pa.array(["Other"] * n, pa.string())
     os_name = pa.array(["Other"] * n, pa.string())
     os_flav = pa.array(["na"] * n, pa.string())
     os_ver = pa.array(["na"] * n, pa.string())
     unknown = pa.array([True] * n, pa.bool_())
     for case in reversed(UA_CASES):
-        m = pc.fill_null(pc.match_substring_regex(ua, case["match"]), False)
-        browser = pc.if_else(m, _ua_value(ua, case["browser"]), browser)
-        os_name = pc.if_else(m, _ua_value(ua, case["os_name"]), os_name)
-        os_flav = pc.if_else(m, _ua_value(ua, case["os_flav"]), os_flav)
-        os_ver = pc.if_else(m, _ua_value(ua, case["os_ver"]), os_ver)
+        m = pc.fill_null(pc.match_substring_regex(uniq, case["match"]), False)
+        browser = pc.if_else(m, _ua_value(uniq, case["browser"]), browser)
+        os_name = pc.if_else(m, _ua_value(uniq, case["os_name"]), os_name)
+        os_flav = pc.if_else(m, _ua_value(uniq, case["os_flav"]), os_flav)
+        os_ver = pc.if_else(m, _ua_value(uniq, case["os_ver"]), os_ver)
         unknown = pc.if_else(m, pa.scalar(False), unknown)
-    return browser, os_name, os_flav, os_ver, unknown
+    ix = enc.indices
+    return (browser.take(ix), os_name.take(ix), os_flav.take(ix),
+            os_ver.take(ix), unknown.take(ix))
 
 
 def _sql_pat(pat: str) -> str:

@@ -422,18 +422,63 @@ def minhash_near_dups(
     return out.reset_index(drop=True)
 
 
+CC_SINGLE_TASK_MAX_EDGES = 2_000_000
+
+
+def _cc_single_task(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Small-regime connected components: union-find over the whole edge
+    table inside ONE Ray task (repartition(1) + map). Not a driver
+    materialization — the edge list never leaves the cluster; it is simply
+    small enough (≤ CC_SINGLE_TASK_MAX_EDGES) that iterative distributed
+    propagation would be pure shuffle overhead."""
+
+    def uf(b: pa.Table) -> pa.Table:
+        a = b["a_id"].to_numpy()
+        c = b["b_id"].to_numpy()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a, c):
+            x, y = int(x), int(y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by MIN id so the label is the component minimum
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        nodes = {int(v) for v in a} | {int(v) for v in c}
+        out_n = np.fromiter(nodes, np.int64, len(nodes))
+        out_l = np.fromiter((find(int(v)) for v in out_n), np.int64, len(out_n))
+        return pa.table({"node": pa.array(out_n), "label": pa.array(out_l)})
+
+    return edges.repartition(1).map_batches(
+        uf, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def _connected_components(
     edges: "ray.data.Dataset", num_partitions: int = JOIN_PARTITIONS,
     max_iter: int = 25,
 ) -> "ray.data.Dataset":
     """(a_id, b_id) edge Dataset → (node, label=min id of its component).
 
-    Iterated distributed min-label propagation: each round hash-joins the
-    symmetrized edge table against the current labels (neighbor labels) and
-    takes a groupby-min. Labels only ever decrease, so the label-sum scalar
-    is a convergence certificate. Rounds needed = component diameter — small
-    by construction here (bucket-min star edges). Covers only nodes with ≥1
+    Two regimes: a verified near-dup edge table that fits one task
+    (≤ CC_SINGLE_TASK_MAX_EDGES rows) runs union-find in a single Ray task;
+    larger tables run iterated distributed min-label propagation — each
+    round a sort-merge message pass (sender's label to every neighbor) plus
+    a groupby-min. Labels only ever decrease, so the label-sum scalar is a
+    convergence certificate. Rounds needed = component diameter — small by
+    construction here (bucket-min star edges). Covers only nodes with ≥1
     edge; callers add singletons via anti-join."""
+    edges = edges.materialize()
+    if edges.count() <= CC_SINGLE_TASK_MAX_EDGES:
+        return _cc_single_task(edges)
     from log_parser_ray.stages.aggregate import (
         conform_schema,
         group_safe_map,

@@ -295,3 +295,23 @@ def test_cosine_bucketed_recall_and_precision(ray_session):
     esim = {(a, b): s for a, b, s in zip(exact["a_id"], exact["b_id"], exact["sim"])}
     for a, b, s in zip(got["a_id"], got["b_id"], got["sim"]):
         assert abs(esim[(a, b)] - s) < 1e-6
+
+
+def test_connected_components_regimes_agree(ray_session, monkeypatch):
+    """The single-task union-find and the iterative distributed propagation
+    produce identical components (chain + star + singleton-by-absence)."""
+    import pyarrow as pa
+
+    edges = ray.data.from_arrow(
+        pa.table({"a_id": pa.array([1, 3, 4, 9, 8], pa.int64()),
+                  "b_id": pa.array([0, 1, 3, 8, 7], pa.int64())})
+    ).repartition(2)
+    small = ddp._connected_components(edges).to_pandas().sort_values("node")
+    monkeypatch.setattr(ddp, "CC_SINGLE_TASK_MAX_EDGES", 0)
+    big = ddp._connected_components(edges).to_pandas().sort_values("node")
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), big.reset_index(drop=True)
+    )
+    lab = dict(zip(small["node"], small["label"]))
+    assert lab[4] == lab[3] == lab[1] == lab[0] == 0  # chain collapses to min
+    assert lab[9] == lab[8] == lab[7] == 7
