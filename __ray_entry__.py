@@ -888,6 +888,169 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_near_dups_oracle(threshold: float = 0.9) -> str:
+    """Full SQL twin of the MinHash-LSH near-dup pipeline: per-token md5 →
+    64 (a·h+b) mod p permutation minima (the exact perm constants inlined)
+    → 16 band hashes via the same uint64 murmur-fmix fold (HUGEINT modular
+    arithmetic; 64×64-bit multiply split into 32-bit halves) → bucket
+    self-join candidates → exact-Jaccard verify. Proves the whole LSH path,
+    not just the verify step."""
+    from log_parser_ray.stages import dedup as D
+
+    a, b = D._perm_params(D.N_PERM)
+    P = D.MERSENNE_P
+    M64, M32 = 1 << 64, 1 << 32
+    MULT = 0xFF51AFD7ED558CCD
+    GOLD = 0x9E3779B97F4A7C15
+    rows_per_band = D.N_PERM // D.LSH_BANDS
+
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(D.N_PERM)
+    )
+
+    def mulmod64(x: str) -> str:
+        return (
+            f"((({x} % {M32}::HUGEINT) * {MULT}::HUGEINT"
+            f" + ((({x} // {M32}::HUGEINT) * {MULT}::HUGEINT) % {M32}::HUGEINT)"
+            f" * {M32}::HUGEINT) % {M64}::HUGEINT)"
+        )
+
+    def mix(h: str, s: str) -> str:
+        t = mulmod64(f"xor({h}, {s})")
+        return f"xor({t}, ({t} // {1 << 33}::HUGEINT))"
+
+    band_selects = []
+    for band in range(D.LSH_BANDS):
+        h = f"{((band + 1) * GOLD) % M64}::HUGEINT"
+        for c in range(rows_per_band):
+            h = mix(h, f"s{band * rows_per_band + c}")
+        band_selects.append(f"SELECT doc_id, {band} AS band, {h} AS bucket FROM wide")
+    sig_cols = ", ".join(
+        f"MAX(CASE WHEN perm = {i} THEN sig END) AS s{i}" for i in range(D.N_PERM)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS w
+  FROM documents),
+hx AS (SELECT printf('%02x', r) AS h2, r AS v FROM range(256) t(r)),
+th AS (
+  SELECT t.doc_id, t.w,
+         (SUM(m.v::HUGEINT * power(2, 8*j.j)::HUGEINT) % {P}::HUGEINT) AS h
+  FROM (SELECT doc_id, w, md5(w) AS hh FROM tok) t
+  CROSS JOIN range(8) j(j)
+  JOIN hx m ON m.h2 = substr(t.hh, 2*j.j + 1, 2)
+  GROUP BY t.doc_id, t.w),
+perms(perm, pa, pb) AS (VALUES {perm_rows}),
+-- numpy uint64 arithmetic WRAPS mod 2^64 before the mod-p (dedup.py
+-- minhash_signatures): replicate exactly — (a·h mod 2^64 + b) mod 2^64
+-- mod p, with the 64×64-bit product split into 32-bit halves
+sigs AS (
+  SELECT doc_id, perm,
+         MIN(((((h % {M32}::HUGEINT) * pa
+                + (((h // {M32}::HUGEINT) * pa) % {M32}::HUGEINT) * {M32}::HUGEINT)
+               % {M64}::HUGEINT + pb) % {M64}::HUGEINT) % {P}::HUGEINT) AS sig
+  FROM th CROSS JOIN perms GROUP BY doc_id, perm),
+wide AS (SELECT doc_id, {sig_cols} FROM sigs GROUP BY doc_id),
+buckets AS ({" UNION ALL ".join(band_selects)}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.a_id
+  JOIN tok tb ON tb.doc_id = c.b_id AND tb.w = ta.w
+  GROUP BY c.a_id, c.b_id)
+SELECT a_id, b_id, i, sa.n + sb.n - i AS u,
+       round_even(i / (sa.n + sb.n - i * 1.0), 6) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round_even(i / (sa.n + sb.n - i * 1.0), 6) >= {threshold}
+""".strip()
+
+
+def _minhash_clusters_oracle(threshold: float = 0.9) -> str:
+    """SQL twin of the MinHash-LSH dedup clusters: same signatures/banding
+    as _minhash_near_dups_oracle, but candidates are the bucket-MIN edges,
+    verification is the same exact Jaccard, and connected components run as
+    a RECURSIVE transitive-closure CTE (label = min reachable id)."""
+    base = _minhash_near_dups_oracle(threshold)
+    # reuse everything up to `buckets`; swap the tail
+    head = base.split("cand AS (")[0]
+    return head + f"""cand AS (
+  SELECT DISTINCT b1.doc_id AS a_id, m.mn AS b_id
+  FROM buckets b1
+  JOIN (SELECT band, bucket, MIN(doc_id) AS mn
+        FROM buckets GROUP BY band, bucket) m
+    ON m.band = b1.band AND m.bucket = b1.bucket
+  WHERE b1.doc_id > m.mn),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.a_id
+  JOIN tok tb ON tb.doc_id = c.b_id AND tb.w = ta.w
+  GROUP BY c.a_id, c.b_id),
+edges AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE round_even(i / (sa.n + sb.n - i * 1.0), 6) >= {threshold}),
+sym AS (SELECT a_id AS s, b_id AS d FROM edges
+        UNION SELECT b_id, a_id FROM edges),
+reach AS (
+  WITH RECURSIVE r(node, anc) AS (
+    SELECT s, d FROM sym
+    UNION
+    SELECT r.node, e.d FROM r JOIN sym e ON e.s = r.anc
+  ) SELECT * FROM r),
+labels AS (
+  SELECT node AS doc_id, LEAST(node, MIN(anc)) AS cluster_id
+  FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS cluster_size
+FROM documents d LEFT JOIN labels l USING (doc_id)
+""".strip()
+
+
+def _curate_oracle(
+    near_threshold: float = 0.9, min_words: int = 20, max_stop_ratio: float = 0.6
+) -> str:
+    """SQL twin of the curation pipeline: exact-dup survivors (md5 group
+    min), near-dup cluster representatives (the full minhash-clusters
+    oracle as a CTE), and the quality gate, applied in the same
+    disposition order."""
+    clusters = _minhash_clusters_oracle(near_threshold)
+    head, final = clusters.rsplit("SELECT d.doc_id,", 1)
+    return (
+        head
+        + ", clus AS (SELECT d.doc_id,"
+        + final
+        + f"""),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+qual AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS BIGINT) AS n_words,
+         round_even(len(regexp_extract_all(lower(text), '{textops.STOP_RE}'))
+                    / greatest(CAST(len(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS DOUBLE), 1.0),
+                    6) AS stop_ratio
+  FROM documents)
+SELECT c.doc_id,
+       CASE WHEN s.doc_id IS NULL THEN 'exact_dup'
+            WHEN c.cluster_id <> c.doc_id THEN 'near_dup'
+            WHEN q.n_words >= {min_words} AND q.stop_ratio <= {max_stop_ratio}
+                 THEN 'kept'
+            ELSE 'low_quality' END AS disposition
+FROM clus c
+LEFT JOIN surv s ON s.doc_id = c.doc_id
+JOIN qual q ON q.doc_id = c.doc_id"""
+    )
+
+
 def _baseline_case() -> str:
     whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in PERF_BASELINE_US.items())
     return f"(CASE uri_path {whens} END)"
@@ -1197,6 +1360,37 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)""",
+        "minhash_near_dups": _minhash_near_dups_oracle(threshold=0.9),
+        "minhash_clusters": _minhash_clusters_oracle(threshold=0.9),
+        "curate_report": _curate_oracle(0.9, 20, 0.6),
+        # SimHash is md5-bit arithmetic — fully SQL-expressible: per-token
+        # md5, little-endian 64-bit ±1 bit votes (count-weighted), bit k set
+        # iff votes > 0, rendered %016x. Shared WORD_RE with the Ray stage.
+        "simhash_fingerprints": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS w
+              FROM documents),
+            hx AS (SELECT printf('%02x', r) AS h2, r AS v FROM range(256) t(r)),
+            bytes AS (
+              SELECT t.doc_id, j.j, m.v
+              FROM (SELECT doc_id, md5(w) AS h FROM tok) t
+              CROSS JOIN range(8) j(j)
+              JOIN hx m ON m.h2 = substr(t.h, 2*j.j + 1, 2)),
+            bits AS (
+              SELECT doc_id, CAST(8*j + r AS INTEGER) AS k,
+                     SUM(CASE WHEN (v >> CAST(r AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+              FROM bytes CROSS JOIN range(8) rr(r)
+              GROUP BY doc_id, 8*j + r),
+            fp AS (
+              SELECT doc_id,
+                printf('%08x', CAST(SUM(CASE WHEN votes > 0 AND k >= 32
+                                             THEN power(2, k-32) ELSE 0 END) AS BIGINT))
+                || printf('%08x', CAST(SUM(CASE WHEN votes > 0 AND k < 32
+                                                THEN power(2, k) ELSE 0 END) AS BIGINT))
+                AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(f.simhash, '0000000000000000') AS simhash
+            FROM documents d LEFT JOIN fp f USING (doc_id)""",
         "jaccard_pairs": f"""
             WITH tok AS (
               SELECT DISTINCT doc_id,
