@@ -47,6 +47,8 @@ def run(
     *,
     file_pattern: str | None = None,
     clone_map=None,
+    history_root: str | None = None,
+    run_date: str | None = None,
 ) -> dict:
     """Parse real access_log files → routed sinks + report tables + text
     report. Returns the small report frames."""
@@ -105,6 +107,15 @@ def run(
 
     # method × server pivot (A10)
     methods = grouped_count(ok, ["websrvr", "request"], alias="n").to_pandas()
+
+    if history_root is not None and run_date is not None:
+        # IO5: the reference's daily history CSVs (hourly avg, per-code,
+        # perf) as idempotent date-partitioned parquet appends
+        from log_parser_ray.state.history import append_history
+
+        append_history(history_root, "access_hourly", run_date, hourly)
+        append_history(history_root, "access_response_codes", run_date, rc)
+        append_history(history_root, "access_top_slow", run_date, slow)
 
     report = _render_report(hourly, rc, total, slow)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")

@@ -339,3 +339,108 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     ]
     # parsed parquet written per family
     assert rd.read_parquet(os.path.join(out, "was", "tto")).count() > 0
+
+
+# --- property: the access parser inverts the line format for arbitrary
+# field values (beyond the synth grammar), with URL decomposition checked
+# against an independent re-implementation of the AWK rules
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_slow = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_seg = st.text(alphabet="abcz09", min_size=1, max_size=6)
+_uri = st.one_of(
+    st.just("/"),
+    st.builds(lambda s: f"/{s}.ico", _seg),                    # dotted first seg
+    st.builds(lambda a, b: f"/{a}/{b}", _seg, _seg),           # no ext
+    st.builds(lambda a, b: f"/{a}/{b}.jsp", _seg, _seg),       # ext
+    st.builds(lambda a, b, c: f"/{a}/{b}/{c}.html", _seg, _seg, _seg),
+)
+
+
+def _awk_url_rules(uri):
+    """Independent transcription of webAccessLogParser.sh:380-414."""
+    if uri == "":
+        return "NA", "NA", "NA"
+    if uri == "/":
+        return "/", "NA", "NA"
+    segs = uri.split("/")  # segs[0] == ''
+    first = segs[1]
+    if "." in first:
+        page = first
+        return "/", page, page.split(".")[1]
+    domain = first
+    page = segs[-1]
+    if "." in page:
+        return domain, page, page.split(".")[-1]
+    return domain, page, "NA"
+
+
+@_slow
+@given(
+    method=st.sampled_from(["GET", "POST", "DELETE", "PROPATCH"]),
+    glue=st.one_of(st.just(""), st.just("a=1&b=2")),
+    uri=_uri,
+    q=st.one_of(st.just(""), st.just("x=9")),
+    code=st.sampled_from([200, 302, 404, 503]),
+    rt=st.integers(min_value=0, max_value=30_000_000),
+    sess=st.one_of(st.just("-"), st.builds(lambda s: f"0000{s}:cl{s}", _seg)),
+    uid=st.one_of(st.just("-"), st.builds(lambda s: f"{s}@x.com", _seg)),
+)
+def test_access_parser_roundtrip(ray_session, method, glue, uri, q, code, rt, sess, uid):
+    from log_parser_ray.stages.accesslog import parse_access_log
+
+    tok1 = glue + method
+    target = uri + (f"?{q}" if q else "")
+    line = (
+        f'1.2.3.4 - - [13/Jun/2015:10:32:04 -0400] "{tok1} {target} HTTP/1.1" '
+        f'{code} 10 JSESSIONID="{sess}" UID="{uid}" {rt} 1 2 "curl/7.29.0" web0'
+    )
+    out = parse_access_log(lines_ds([line])).to_pandas().iloc[0]
+    assert out["request"] == method
+    assert out["uri_path"] == uri
+    exp_params = (q + "&" + glue) if (q and glue) else (glue or q)
+    assert out["params"] == exp_params
+    assert out["response"] == code
+    assert out["rt_us"] == rt
+    d, p, e = _awk_url_rules(uri)
+    assert (out["domain"], out["page"], out["ext"]) == (d, p, e)
+    if sess == "-":
+        assert (out["jsession"], out["clone_id"]) == ("-", "-")
+    else:
+        assert out["jsession"] == sess[4:].split(":")[0]
+        assert out["clone_id"] == sess.split(":")[1]
+    assert out["uid"] == uid
+    assert out["hour"] == 10
+    exp_range = ("<=1sec" if rt <= 1e6 else "<=5sec" if rt <= 5e6 else
+                 "<=10sec" if rt <= 10e6 else "<=20sec" if rt <= 20e6 else ">20sec")
+    assert out["resp_range"] == exp_range
+
+
+def test_weblog_history_append_idempotent(ray_session, sf_dir, tmp_path):
+    """IO5 on the real pack: daily history appends are idempotent per date
+    (a rerun of the same day replaces, never double-appends)."""
+    import pyarrow.parquet as pq
+
+    from log_parser_ray.pipelines import weblog
+    from log_parser_ray.sources.accesssynth import synth_access_lines
+
+    lines = synth_access_lines(sf_dir).to_pandas().sort_values("line_id")
+    (tmp_path / "access_log.1103").write_text("\n".join(lines["text"]) + "\n")
+    hist = str(tmp_path / "history")
+    for _ in range(2):  # rerun same day → same history
+        weblog.run(str(tmp_path), str(tmp_path / "o"), file_pattern="access_log",
+                   history_root=hist, run_date="2017-11-03")
+    h = pq.read_table(hist + "/access_response_codes").to_pandas()
+    assert len(h) == len(h.drop_duplicates(subset=["response"]))
+    assert set(h["date"].astype(str)) == {"2017-11-03"}
+    # a second day appends alongside
+    weblog.run(str(tmp_path), str(tmp_path / "o2"), file_pattern="access_log",
+               history_root=hist, run_date="2017-11-04")
+    h2 = pq.read_table(hist + "/access_response_codes").to_pandas()
+    assert set(h2["date"].astype(str)) == {"2017-11-03", "2017-11-04"}
