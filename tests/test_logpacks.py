@@ -444,3 +444,56 @@ def test_weblog_history_append_idempotent(ray_session, sf_dir, tmp_path):
                history_root=hist, run_date="2017-11-04")
     h2 = pq.read_table(hist + "/access_response_codes").to_pandas()
     assert set(h2["date"].astype(str)) == {"2017-11-03", "2017-11-04"}
+
+
+@_slow
+@given(
+    jvm=st.integers(min_value=0, max_value=7),
+    full=st.booleans(),
+    b=st.integers(min_value=0, max_value=99999),
+    a=st.integers(min_value=0, max_value=99999),
+    t=st.integers(min_value=1, max_value=99999),
+    unit=st.sampled_from(["K", "M", "G"]),
+    frac=st.integers(min_value=0, max_value=9999999),
+)
+def test_gc_parser_roundtrip(ray_session, jvm, full, b, a, t, unit, frac):
+    from log_parser_ray.stages.gclog import parse_gc_lines
+
+    typ = "Full GC" if full else "GC"
+    seg = "ParOldGen" if full else "PSYoungGen"
+    line = f"jvm{jvm} [{typ} [{seg}: {b}{unit}->{a}{unit}({t}{unit})] 0.{frac:07d} secs]"
+    out = parse_gc_lines(lines_ds([line])).to_pandas().iloc[0]
+    mult = {"K": 1, "M": 1024, "G": 1024 * 1024}[unit]
+    assert out["jvm"] == f"jvm{jvm}" and out["gc_type"] == typ
+    assert out["before_k"] == b * mult and out["after_k"] == a * mult
+    assert out["total_k"] == t * mult
+    assert out["diff_k"] == (b - a) * mult
+    # same float pipeline as the parser (string → float64 → ×1e6 → half-even)
+    import numpy as np
+
+    assert out["pause_us"] == int(np.round(np.float64(f"0.{frac:07d}") * 1e6))
+
+
+@_slow
+@given(
+    srv=st.integers(min_value=0, max_value=3),
+    thread=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    comp=st.sampled_from(["ServletWrappe", "WsServerImpl"]),
+    evt=st.sampled_from(["E", "W", "I", "A", "F"]),
+    msgid=st.sampled_from(["SRVE0068E", "WSVR0605W", "WTRN0006W", "SECJ0064A"]),
+    tail=st.text(alphabet="ab c", min_size=0, max_size=12),
+)
+def test_was_parser_roundtrip(ray_session, srv, thread, comp, evt, msgid, tail):
+    from log_parser_ray.stages.waslog import parse_was_lines
+
+    msg = f"{msgid}: x{tail}"
+    line = f"was{srv} [6/13/15 10:32:04:123 EDT] {thread:08x} {comp} {evt} {msg}"
+    out = parse_was_lines(lines_ds([line])).to_pandas().iloc[0]
+    assert out["srv"] == f"was{srv}"
+    assert out["thread"] == f"{thread:08x}"
+    assert out["component"] == comp
+    assert out["evt_type"] == evt
+    assert out["msg_id"] == msgid
+    assert out["msg"] == msg
+    named = msgid in ("WTRN0006W", "WTRN0124I", "WSVR0001I")
+    assert bool(out["is_severe"]) == (evt in "WEF" or named)
