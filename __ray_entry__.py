@@ -357,6 +357,26 @@ def q_conv_avg_rt_ranking(sf_dir: str):
     return out[["conv_id", "n", "sum_rt", "avg_rt_us"]]
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based sessionization (session windows, 30-min silence rule):
+    the streaming-window kind the reference's fixed hour buckets can't
+    express; per-conv ordered pass, shuffle key = conv_id alone."""
+    return sess.session_windows(_parsed(sf_dir))
+
+
+def q_tool_rt_percentiles(sf_dir: str):
+    """Exact grouped p50/p90/p95/p99 of tool response time via the
+    distributed value histogram (DuckDB quantile_disc nearest-rank
+    convention — integer element out, hash-exact)."""
+    from log_parser_ray.stages.aggregate import grouped_quantiles
+
+    ds = _keep(_keep(_parsed(sf_dir), "tool_name"), "rt_us")
+    return grouped_quantiles(
+        ds.select_columns(["tool_name", "rt_us"]),
+        ["tool_name"], "rt_us", [0.5, 0.9, 0.95, 0.99],
+    )
+
+
 def q_windowed_sink_counts(sf_dir: str):
     """Tumbling-window aggregate (the batch analogue of the reference's hour
     buckets, webAccessLogParser.sh:314,730, generalized): 15-minute windows
@@ -669,6 +689,17 @@ def _embeddings(sf_dir: str):
     )
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 corpus-characteristic terms per source by tf/df (TF-IDF keyword
+    extraction): tf + df shuffles hash-joined on term; integer output."""
+    return textops.tfidf_top_terms(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ),
+        k=5,
+    )
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring: char/word/stopword counts + stopword ratio per doc."""
     return textops.quality_stats(
@@ -846,6 +877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "part_type_revenue": q_part_type_revenue,
         "windowed_sink_counts": q_windowed_sink_counts,
+        "session_windows": q_session_windows,
+        "tool_rt_percentiles": q_tool_rt_percentiles,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
         "access_parsed_rows": q_access_parsed_rows,
         "access_hourly_stats": q_access_hourly_stats,
@@ -1226,6 +1260,41 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS window_start_s,
                     sink, COUNT(*) AS n
              FROM parsed GROUP BY 1, 2""",
+        "session_windows": P
+        + """SELECT conv_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                    MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+             FROM (
+               SELECT conv_id, ts,
+                      CAST(SUM(CASE WHEN prev_ts IS NULL
+                                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                                    THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) - 1
+                        AS session_idx
+               FROM (SELECT conv_id, turn_idx, ts,
+                            lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+                     FROM parsed)
+             ) GROUP BY conv_id, session_idx""",
+        "tool_rt_percentiles": P
+        + """SELECT tool_name, CAST(COUNT(*) AS BIGINT) AS n,
+                    quantile_disc(rt_us, 0.5) AS p50,
+                    quantile_disc(rt_us, 0.9) AS p90,
+                    quantile_disc(rt_us, 0.95) AS p95,
+                    quantile_disc(rt_us, 0.99) AS p99
+             FROM parsed WHERE tool_name IS NOT NULL AND rt_us IS NOT NULL
+             GROUP BY tool_name""",
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT source, doc_id, t.term
+              FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+            ),
+            tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM toks GROUP BY 1)
+            SELECT source, term, tf, df
+            FROM tf JOIN df USING (term)
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY tf * 1.0 / df DESC, term) <= 5""",
         "part_type_revenue": """
             SELECT p_type, COUNT(*) AS n_items,
                    CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)

@@ -260,6 +260,67 @@ def distinct_count(
     )
 
 
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    col: str,
+    qs: Sequence[float],
+    *,
+    count: str | None = "n",
+):
+    """Exact grouped quantiles via the distributed value histogram.
+
+    Nearest-rank convention matching DuckDB ``quantile_disc``: the 1-based
+    rank is ``ceil(q*n)`` evaluated in IEEE doubles (verified against DuckDB
+    over an (n, q) grid — both engines do the same double multiply, so even
+    epsilon-above-integer products agree), and the result is an ELEMENT of
+    the column — integer in, integer out, so the value is hash-exact with no
+    interpolation-rounding hazard.
+
+    Scale shape: the full data reduces to a per-(keys, col-value) count table
+    via the usual two-phase combine — the shuffle carries one row per
+    distinct value per key per block, never raw rows — then one vectorized
+    cumsum+searchsorted per key group picks all quantiles at once. Exact for
+    any distribution; the per-group state is the VALUE HISTOGRAM (bounded by
+    the value domain, e.g. integer µs), not the row count. For unbounded
+    continuous domains the same rank-locate runs over sort+per-block counts
+    instead; the reference itself has no quantiles (SURVEY §2.5) — this is
+    part of the training-data/telemetry extension surface."""
+    keys = list(keys)
+    qs = list(qs)
+
+    hist = grouped_count(
+        _mb(ds, lambda t: t.select(keys + [col]).filter(pc.is_valid(t[col])),
+            batch_size=COMBINE_ROWS),
+        keys + [col],
+        alias="_cnt",
+    )
+
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def pick(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(keys + [col], kind="stable")
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False):
+            c = grp["_cnt"].to_numpy()
+            v = grp[col].to_numpy()
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+            if count:
+                row[count] = n
+            for q in qs:
+                rank = min(max(math.ceil(q * n), 1), n)
+                row[f"p{int(round(q * 100))}"] = v[int(np.searchsorted(cum, rank))]
+            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return group_safe_map(hist, keys, pick)
+
+
 def top_k(
     ds: "ray.data.Dataset",
     by: Sequence[str],

@@ -76,6 +76,51 @@ def session_pairs(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return _per_conv_blocks(keep, pair)
 
 
+# Gap threshold for sessionization: a silence longer than this starts a new
+# session window (the classic web-analytics 30-minute rule).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_windows(
+    parsed: "ray.data.Dataset", gap_us: int = SESSION_GAP_US
+) -> "ray.data.Dataset":
+    """Gap-based sessionization (session windows): split each conversation's
+    turn-ordered stream into sessions wherever the time since the previous
+    turn exceeds ``gap_us``. The streaming-window analogue of the reference's
+    hour bucketing (SURVEY §2.9 — its only windows are ts-derived buckets);
+    gap windows are the one window kind a training/telemetry pipeline needs
+    that fixed buckets can't express.
+
+    Emits one row per (conv_id, session_idx): n_turns, start_ts/end_ts
+    (min/max over the window — identical on both engines even if ts is not
+    monotone in turn_idx) and an exact integer duration_us. Distributed shape:
+    same per-conversation ordered pass as every operator here — state never
+    crosses the conv_id group, so the shuffle key stays conv_id alone."""
+    keep = parsed.select_columns(["conv_id", "turn_idx", "ts"])
+    gap = pd.Timedelta(microseconds=gap_us)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        prev_ts = g.groupby("conv_id", sort=False)["ts"].shift(1)
+        new_sess = prev_ts.isna() | ((g["ts"] - prev_ts) > gap)
+        sess_idx = (
+            new_sess.astype("int64").groupby(g["conv_id"], sort=False).cumsum() - 1
+        )
+        out = (
+            g.assign(session_idx=sess_idx)
+            .groupby(["conv_id", "session_idx"], sort=False)
+            .agg(n_turns=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+            .reset_index()
+        )
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["duration_us"] = (
+            (out["end_ts"] - out["start_ts"]).to_numpy().astype("timedelta64[us]").astype("int64")
+        )
+        return out
+
+    return _per_conv_blocks(keep, fn)
+
+
 def asof_correlate(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     """For every error turn, the most recent PRIOR tool-call turn in the same
     conversation (J2 as-of semantics: a pending value keyed by the partition

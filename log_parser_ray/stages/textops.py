@@ -75,6 +75,68 @@ def token_counts_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return grouped_stats(per_doc, ["source"], "n_tokens", count="n_docs", sum_="sum_tokens")
 
 
+def doc_term_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Explode documents to exact per-(doc_id, source, term) counts.
+
+    Fully vectorized: split on the complement of WORD_RE (one RE2 kernel),
+    flatten the list column with parent indices (zero-copy take), drop empty
+    fragments, then one pyarrow group_by per batch. Exact WITHOUT a shuffle
+    because each document is one input row, so all its tokens are in one
+    batch — the exploded token stream never leaves the task. Output volume is
+    per-doc vocabulary, not token count."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        toks = pc.split_pattern_regex(low, f"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        tbl = pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), parent),
+                "source": pc.take(t["source"].combine_chunks(), parent),
+                "term": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        out = tbl.group_by(["doc_id", "source", "term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "source", "term", "cnt"])
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
+    """Top-k corpus-characteristic terms per source by tf/df — the TF-IDF
+    keyword-extraction shape over the documents table (two shared shuffles:
+    term-frequency per (source, term) and document-frequency per term, hash
+    joined on term). The ranking score tf/df is one IEEE double division on
+    both engines (identical ordering); the EMITTED columns are exact integers
+    and strings, so the result is hash-safe."""
+    from log_parser_ray.stages.aggregate import (
+        conform_schema,
+        group_safe_map,
+        grouped_count,
+        grouped_stats,
+    )
+
+    per = doc_term_counts(docs)
+    tf = grouped_stats(per, ["source", "term"], "cnt", count=None, sum_="tf")
+    df = grouped_count(per, ["term"], alias="df")
+    tf = conform_schema(
+        tf, pa.schema([("source", pa.string()), ("term", pa.string()), ("tf", pa.int64())])
+    )
+    df = conform_schema(df, pa.schema([("term", pa.string()), ("df", pa.int64())]))
+    joined = tf.join(df, "inner", 8, on=("term",))
+
+    def pick(g):
+        import pandas as pd  # noqa: F401
+
+        g = g.assign(_score=g["tf"].to_numpy() / g["df"].to_numpy())
+        g = g.sort_values(["_score", "term"], ascending=[False, True], kind="stable")
+        out = g.groupby("source", sort=False).head(k)
+        return out[["source", "term", "tf", "df"]]
+
+    return group_safe_map(joined, ["source"], pick, batch_format="pandas")
+
+
 def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Append predicted language column (stopword-hit heuristic)."""
 

@@ -176,3 +176,39 @@ def test_group_safe_under_block_splits():
     parts = parts.sort_values("k1").reset_index(drop=True)
     assert list(parts["k1"]) == sorted(df["k1"].unique())
     assert parts.set_index("k1")["size"].to_dict() == df["k1"].value_counts().to_dict()
+
+
+def test_grouped_quantiles_vs_numpy(table):
+    import math
+
+    from log_parser_ray.stages.aggregate import grouped_quantiles
+
+    qs = [0.5, 0.9, 0.95, 0.99]
+    got = (
+        grouped_quantiles(rd.from_pandas(table), ["k1"], "v", qs)
+        .to_pandas()
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for k, g in table.groupby("k1"):
+        v = np.sort(g["v"].to_numpy())
+        row = {"k1": k, "n": len(v)}
+        for q in qs:
+            row[f"p{int(round(q * 100))}"] = v[min(max(math.ceil(q * len(v)), 1), len(v)) - 1]
+        rows.append(row)
+    want = pd.DataFrame(rows).sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_grouped_quantiles_under_block_splits(table):
+    """Same answer when the input arrives as many tiny blocks."""
+    from log_parser_ray.stages.aggregate import grouped_quantiles
+
+    one = grouped_quantiles(rd.from_pandas(table), ["k1"], "v", [0.5, 0.95]).to_pandas()
+    many = grouped_quantiles(
+        rd.from_pandas(table).repartition(37), ["k1"], "v", [0.5, 0.95]
+    ).to_pandas()
+    one = one.sort_values("k1").reset_index(drop=True)
+    many = many.sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)

@@ -110,3 +110,69 @@ def test_reassembly_order_independent_of_input_order():
     ]
     out = reassemble_blocks(_tx(rows)).to_pandas()
     assert len(out) == 1 and out["n_lines"].iloc[0] == 3
+
+
+def test_session_windows_gap_split():
+    """Turns >30 min apart open a new session; boundaries are exact."""
+    import numpy as np
+
+    from log_parser_ray.stages.sessions import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, ts = [], []
+    # c1: turns at 0s, 60s, then a 31-minute silence, then two more turns
+    offs = [0, 60, 60 + 31 * 60, 60 + 31 * 60 + 10]
+    for i, o in enumerate(offs):
+        rows.append(("c1", i, f"turn {i}"))
+        ts.append(base + datetime.timedelta(seconds=o))
+    # c2: a single turn
+    rows.append(("c2", 0, "only"))
+    ts.append(base)
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": ["user"] * len(rows),
+                "text": [r[2] for r in rows],
+                "tool": [None] * len(rows),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+    )
+    out = (
+        session_windows(parse_dataset(tx))
+        .to_pandas()
+        .sort_values(["conv_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["conv_id"]) == ["c1", "c1", "c2"]
+    assert list(out["session_idx"]) == [0, 1, 0]
+    assert list(out["n_turns"]) == [2, 2, 1]
+    assert list(out["duration_us"]) == [60_000_000, 10_000_000, 0]
+    # partition property: every turn lands in exactly one session
+    assert int(out["n_turns"].sum()) == len(rows)
+    assert out["start_ts"].dtype == np.dtype("datetime64[us]")
+
+
+def test_session_windows_boundary_is_exclusive():
+    """A gap of exactly 30 min does NOT split (rule is strictly greater)."""
+    from log_parser_ray.stages.sessions import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    tx = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c", "c"],
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": ["user", "user"],
+                "text": ["a", "b"],
+                "tool": [None, None],
+                "ts": pa.array(
+                    [base, base + datetime.timedelta(minutes=30)], pa.timestamp("us")
+                ),
+            }
+        )
+    )
+    out = session_windows(parse_dataset(tx)).to_pandas()
+    assert len(out) == 1 and int(out["n_turns"].iloc[0]) == 2

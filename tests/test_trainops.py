@@ -315,3 +315,47 @@ def test_connected_components_regimes_agree(ray_session, monkeypatch):
     lab = dict(zip(small["node"], small["label"]))
     assert lab[4] == lab[3] == lab[1] == lab[0] == 0  # chain collapses to min
     assert lab[9] == lab[8] == lab[7] == 7
+
+
+def test_tfidf_top_terms_vs_pandas(ray_session):
+    """TF-IDF top-k per source matches a serial pandas computation."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from log_parser_ray.stages.textops import tfidf_top_terms
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype="int64"),
+            "source": [f"s{i % 3}" for i in range(60)],
+            "text": [
+                " ".join(rng.choice(vocab, rng.randint(3, 12))) + " Punct-u.ation!"
+                for _ in range(60)
+            ],
+        }
+    )
+    got = (
+        tfidf_top_terms(rd.from_pandas(docs).repartition(7), k=5)
+        .to_pandas()
+        .sort_values(["source", "term"])
+        .reset_index(drop=True)
+    )
+    toks = docs.assign(
+        term=[re.findall("[a-z0-9]+", t.lower()) for t in docs["text"]]
+    ).explode("term")
+    tf = toks.groupby(["source", "term"]).size().reset_index(name="tf")
+    df = toks.groupby("term")["doc_id"].nunique().reset_index(name="df")
+    j = tf.merge(df, on="term")
+    j["_score"] = j["tf"] / j["df"]
+    want = (
+        j.sort_values(["_score", "term"], ascending=[False, True], kind="stable")
+        .groupby("source")
+        .head(5)[["source", "term", "tf", "df"]]
+        .sort_values(["source", "term"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"tf": "int64", "df": "int64"}), want.astype({"tf": "int64", "df": "int64"}))
