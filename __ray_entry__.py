@@ -700,6 +700,65 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
 
+from log_parser_ray.stages import sketch
+
+
+# Stratified-sampling rate table used by the query AND its oracle (buckets
+# of 1/65536: even sources keep 50%, odd keep ~10%, sources ≥ 10 drop).
+STRATA_RATES = {f"src{i}": (32768 if i % 2 == 0 else 6554) for i in range(10)}
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprinting (winnowing, SIGMOD 2003):
+    k-gram polynomial hashes + rightmost-window-min selection."""
+    return sketch.winnow_fingerprints(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash-bucket corpus sampling (~10%): engine-exact,
+    reproducible across runs/cluster sizes, no shuffle."""
+    return sketch.sample_by_hash(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+        ),
+        "doc_id",
+        keep_buckets=6554,
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling: per-source keep rates, key-hash
+    decision (nested subsets across rates)."""
+    return sketch.stratified_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+        ),
+        "source",
+        "doc_id",
+        STRATA_RATES,
+    )
+
+
+def q_heavy_hitter_terms(sf_dir: str):
+    """Exact top-10 most frequent corpus terms via the Misra–Gries
+    candidate pass with certified exactness (sketch bounds every
+    uncounted term; full shuffle only if the bound can't certify)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t):
+        import pyarrow as pa
+
+        low = pc.utf8_lower(t["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        return pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+
+    terms = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return sketch.heavy_hitters(terms, "term", k=10, capacity=4096)
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring: char/word/stopword counts + stopword ratio per doc."""
     return textops.quality_stats(
@@ -905,6 +964,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "was_event_counts": q_was_event_counts,
         "was_msgid_counts": q_was_msgid_counts,
         "was_tto_pairs": q_was_tto_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "heavy_hitter_terms": q_heavy_hitter_terms,
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
@@ -1406,6 +1469,20 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING)
              ) WHERE msg_id = 'WTRN0124I'""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
+        "winnow_fingerprints": sketch.winnow_oracle_sql(),
+        "hash_sample": f"""
+            SELECT doc_id, source, lang FROM documents
+            WHERE {sketch.sample_hash_predicate_sql("doc_id", 6554)}""",
+        "stratified_sample": f"""
+            SELECT doc_id, source, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 4)
+                  < (CASE source {" ".join(f"WHEN '{s}' THEN '{sketch._bucket_threshold(b)}'" for s, b in STRATA_RATES.items())} ELSE '0000' END)""",
+        "heavy_hitter_terms": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS term
+              FROM documents)
+            SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+            ORDER BY n DESC, term LIMIT 10""",
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,
                    round_even(n_stopwords / greatest(n_words, 1.0), 6) AS stop_ratio
