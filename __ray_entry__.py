@@ -716,6 +716,15 @@ def q_winnow_fingerprints(sf_dir: str):
     )
 
 
+def q_winnow_overlap(sf_dir: str):
+    """MOSS-style content-overlap pairs: docs sharing ≥3 distinct winnowed
+    fingerprints (distinct-fp bucket pair emission + two-phase pair count)."""
+    return sketch.winnow_overlap_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        min_shared=3,
+    )
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic hash-bucket corpus sampling (~10%): engine-exact,
     reproducible across runs/cluster sizes, no shuffle."""
@@ -965,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "was_msgid_counts": q_was_msgid_counts,
         "was_tto_pairs": q_was_tto_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "heavy_hitter_terms": q_heavy_hitter_terms,
@@ -1470,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
              ) WHERE msg_id = 'WTRN0124I'""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "winnow_fingerprints": sketch.winnow_oracle_sql(),
+        "winnow_overlap": sketch.winnow_overlap_oracle_sql(min_shared=3),
         "hash_sample": f"""
             SELECT doc_id, source, lang FROM documents
             WHERE {sketch.sample_hash_predicate_sql("doc_id", 6554)}""",

@@ -169,6 +169,58 @@ FROM sel s JOIN hashed h ON h.doc_id = s.doc_id AND h.i = s.pos
 """.strip()
 
 
+def winnow_overlap_pairs(
+    docs: "ray.data.Dataset",
+    min_shared: int = 3,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+):
+    """Content-overlap pairs: (a_id, b_id, n_shared) for docs sharing at
+    least ``min_shared`` distinct winnowed fingerprint VALUES — the actual
+    use of winnowing (MOSS-style overlap/plagiarism detection).
+
+    Distributed shape identical to the MinHash bucket route: distinct
+    (fp, doc_id) → range-sorted bucket pair emission (dedup._pairs_from_buckets,
+    vectorized, no text through the shuffle) → two-phase pair count →
+    threshold filter. A pathologically common fingerprint (boilerplate)
+    would emit O(df²) pairs for its bucket — the same df-cap/verify
+    trade-off documented for jaccard_pairs applies.
+
+    Returns a pandas DataFrame (pair results are small relative to input)."""
+    from log_parser_ray.stages.aggregate import grouped_count
+    from log_parser_ray.stages.dedup import _pairs_from_buckets
+
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    # distinct (fp, doc_id): a fingerprint value repeated WITHIN a doc (a
+    # repeated phrase) must count once toward the pair overlap
+    distinct = grouped_count(fps.select_columns(["fp", "doc_id"]),
+                             ["fp", "doc_id"], alias="_n").drop_columns(["_n"])
+    pairs = _pairs_from_buckets(distinct, "fp", "doc_id")
+    counts = grouped_count(pairs, ["a_id", "b_id"], alias="n_shared").to_pandas()
+    out = counts[counts["n_shared"] >= min_shared].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True)
+
+
+def winnow_overlap_oracle_sql(
+    min_shared: int = 3, k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """SQL twin of ``winnow_overlap_pairs``: the full winnow oracle as a CTE,
+    then a distinct-fp self-join with a pair-count threshold."""
+    base = winnow_oracle_sql(k, w)
+    head, _final = base.rsplit("SELECT DISTINCT", 1)
+    return (
+        head.rstrip()
+        + f""",
+fps AS (
+  SELECT DISTINCT s.doc_id, h.h AS fp
+  FROM sel s JOIN hashed h ON h.doc_id = s.doc_id AND h.i = s.pos)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic hash-bucket sampling
 

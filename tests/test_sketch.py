@@ -83,6 +83,34 @@ def test_winnow_edit_locality(ray_session):
     assert len(f0 & f1) >= len(f0) - 2
 
 
+def test_winnow_overlap_vs_bruteforce(ray_session):
+    """Pair overlap counts equal brute-force |fp-set ∩ fp-set| per pair."""
+    from itertools import combinations
+
+    from log_parser_ray.stages.sketch import winnow_overlap_pairs
+
+    common = "the common boilerplate license header text shared by several documents"
+    texts = [
+        common + " alpha variant one with extra words",
+        common + " beta variant two quite different tail",
+        "entirely unrelated document about winnowing fingerprints and hashing",
+        common + " gamma",
+    ]
+    ds = _docs(texts)
+    fps = winnow_fingerprints(ds).to_pandas()
+    sets = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    want = {
+        (a, b): len(sets.get(a, set()) & sets.get(b, set()))
+        for a, b in combinations(range(len(texts)), 2)
+        if len(sets.get(a, set()) & sets.get(b, set())) >= 2
+    }
+    got = winnow_overlap_pairs(ds.repartition(3), min_shared=2)
+    got_map = {(a, b): n for a, b, n in zip(got["a_id"], got["b_id"], got["n_shared"])}
+    assert got_map == want
+    # the three boilerplate-sharing docs all pair up
+    assert {(0, 1), (0, 3), (1, 3)} <= set(got_map)
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling
 
