@@ -107,6 +107,18 @@ def read_raw_logs(paths, *, file_pattern: str | None = None) -> "ray.data.Datase
                 # magic-byte check, not extension: the reader already
                 # decompresses .gz it recognizes
                 payload = gzip.decompress(payload)
+            elif payload[:4] == b"PK\x03\x04":
+                # .zip (the reference's WAS rotation format,
+                # websphereLogParser.sh:107-114: `unzip -p`): concatenate
+                # members in name order, like unzip -p streams them
+                import io
+                import zipfile
+
+                with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                    payload = b"".join(
+                        zf.read(n) for n in sorted(zf.namelist())
+                        if not n.endswith("/")
+                    )
             lines = payload.decode("utf-8", errors="replace").splitlines()
             stem = _stem(path)
             convs.extend([stem] * len(lines))

@@ -33,6 +33,23 @@ def test_read_plain_and_gz(ray_session, tmp_path):
     assert df[df["conv_id"] == "serverB"]["turn_idx"].tolist() == [0, 1, 2, 3]
 
 
+def test_read_zip(ray_session, tmp_path):
+    """.zip rotations (the reference's WAS format, unzip -p analogue):
+    members concatenate in name order."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("part2.log", "\n".join(LINES_B) + "\n")
+        zf.writestr("part1.log", "\n".join(LINES_A) + "\n")
+    (tmp_path / "serverC.zip").write_bytes(buf.getvalue())
+    df = read_raw_logs(str(tmp_path)).to_pandas()
+    assert df["conv_id"].unique().tolist() == ["serverC"]
+    assert df["text"].tolist() == LINES_A + LINES_B  # name order, not write order
+    assert df["turn_idx"].tolist() == list(range(len(LINES_A) + len(LINES_B)))
+
+
 def test_file_pattern_filter(ray_session, tmp_path):
     (tmp_path / "access_log.0101").write_text("a\n")
     (tmp_path / "access_log.0102").write_text("b\n")
