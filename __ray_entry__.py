@@ -790,6 +790,40 @@ def q_lang_id_counts(sf_dir: str):
     return grouped_count(ds, ["lang", "pred_lang"], alias="n")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality flags: duplicate-word ratio and
+    top-bigram fraction per doc (vectorized in-task explode, no shuffle)."""
+    return textops.repetition_stats(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing any 8-gram with the
+    held-out eval slice (doc_id % 50 == 0), eval n-gram set broadcast."""
+    return textops.decontaminate(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_doclen_percentiles(sf_dir: str):
+    """Exact per-source document-length (word-count) percentiles via the
+    distributed value histogram — the corpus length-profile report."""
+    from log_parser_ray.stages.aggregate import grouped_quantiles
+
+    def derive(t):
+        import pyarrow as pa
+
+        n = pc.cast(pc.count_substring_regex(pc.utf8_lower(t["text"]), textops.WORD_RE),
+                    pa.int64())
+        return pa.table({"source": t["source"], "n_words": n})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantiles(ds, ["source"], "n_words", [0.5, 0.9, 0.99])
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: md5-fingerprint groupby, min-doc_id survivor."""
     return ddp.exact_dedup(
@@ -981,6 +1015,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "doclen_percentiles": q_doclen_percentiles,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1514,6 +1551,68 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'unk' END AS pred_lang,
                    COUNT(*) AS n
             FROM documents GROUP BY 1, 2""",
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
+              FROM documents),
+            flat AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM toks),
+            base AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+              FROM flat GROUP BY doc_id),
+            bg AS (
+              SELECT f1.doc_id, f1.w AS w1, f2.w AS w2, COUNT(*) AS c
+              FROM flat f1 JOIN flat f2
+                ON f2.doc_id = f1.doc_id AND f2.i = f1.i + 1
+              GROUP BY 1, 2, 3),
+            bgt AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+                    FROM bg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(b.n_words, 0) AS n_words,
+                   COALESCE(b.n_distinct, 0) AS n_distinct,
+                   round_even((COALESCE(b.n_words, 0) - COALESCE(b.n_distinct, 0))
+                              / greatest(CAST(COALESCE(b.n_words, 0) AS DOUBLE), 1.0), 6)
+                     AS dup_word_ratio,
+                   round_even(COALESCE(g.top_c, 0)
+                              / greatest(CAST(COALESCE(g.n_bigrams, 0) AS DOUBLE), 1.0), 6)
+                     AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN base b USING (doc_id)
+            LEFT JOIN bgt g USING (doc_id)""",
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
+              FROM documents),
+            pos AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - {textops.NGRAM_N - 2}, 1))) AS i
+              FROM toks),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[i:i + {textops.NGRAM_N - 1}], ' ') AS g
+              FROM pos),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {textops.EVAL_MOD} = 0),
+            hits AS (
+              SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+              FROM grams gr JOIN ev USING (g)
+              WHERE gr.doc_id % {textops.EVAL_MOD} <> 0
+              GROUP BY gr.doc_id)
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % {textops.EVAL_MOD} <> 0""",
+        "doclen_percentiles": f"""
+            WITH lens AS (
+              SELECT source,
+                     CAST(len(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS BIGINT)
+                       AS n_words
+              FROM documents)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_disc(n_words, 0.5) AS p50,
+                   quantile_disc(n_words, 0.9) AS p90,
+                   quantile_disc(n_words, 0.99) AS p99
+            FROM lens GROUP BY source""",
         "exact_dedup": """
             SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)""",

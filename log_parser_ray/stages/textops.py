@@ -150,6 +150,165 @@ def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _explode_terms(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """(flat lowercase terms, parent doc row index) for one batch — the
+    shared explode used by the repetition / decontamination ops. One RE2
+    split kernel + zero-copy flatten; empty fragments dropped with the
+    parent indices kept aligned."""
+    low = pc.utf8_lower(t["text"])
+    toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parent = pc.list_parent_indices(toks).combine_chunks()
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parent.filter(keep).to_numpy(zero_copy_only=False)
+
+
+def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style repetition quality flags per document.
+
+    For each doc: word count, distinct-word count, the duplicate-word ratio
+    ``(n_words - n_distinct) / n_words`` and the top-bigram fraction
+    ``max bigram count / n_bigrams`` — the "is this document mostly one
+    phrase repeated" signals used by published web-corpus quality filters
+    (Gopher §A.2 repetition rules). Fully vectorized: the batch explodes to
+    a flat term array once; distinct and bigram counts are per-batch Arrow
+    ``group_by``s keyed by (doc row, term[, next term]) — each doc's tokens
+    live inside its own row, so the exploded stream never leaves the task
+    and there is NO shuffle. Ratios are exact rationals of counts rounded
+    half-even on both engines."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, parent = _explode_terms(t)
+        n_words = np.zeros(n, dtype=np.int64)
+        np.add.at(n_words, parent, 1)
+
+        dist = (
+            pa.table({"p": parent, "w": flat})
+            .group_by(["p", "w"])
+            .aggregate([([], "count_all")])
+        )
+        n_distinct = np.zeros(n, dtype=np.int64)
+        np.add.at(n_distinct, dist["p"].to_numpy(zero_copy_only=False), 1)
+
+        # bigrams: adjacent flat positions with the same parent doc
+        top_c = np.zeros(n, dtype=np.int64)
+        n_bg = np.zeros(n, dtype=np.int64)
+        if len(flat) > 1:
+            same = parent[:-1] == parent[1:]
+            bg = pa.table(
+                {
+                    "p": pa.array(parent[:-1][same]),
+                    "w1": flat.slice(0, len(flat) - 1).filter(pa.array(same)),
+                    "w2": flat.slice(1).filter(pa.array(same)),
+                }
+            ).group_by(["p", "w1", "w2"]).aggregate([([], "count_all")])
+            bp = bg["p"].to_numpy(zero_copy_only=False)
+            bc = bg["count_all"].to_numpy(zero_copy_only=False)
+            np.add.at(n_bg, bp, bc)
+            np.maximum.at(top_c, bp, bc)
+
+        dup_ratio = np.round((n_words - n_distinct) / np.maximum(n_words, 1), 6)
+        top_frac = np.round(top_c / np.maximum(n_bg, 1), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_distinct": pa.array(n_distinct),
+                "dup_word_ratio": pa.array(dup_ratio),
+                "top_bigram_frac": pa.array(top_frac),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Decontamination: docs whose doc_id ≡ 0 (mod EVAL_MOD) form the held-out
+# "benchmark" set; training docs sharing any NGRAM_N-gram with it are flagged
+# (the GPT-3 appendix-C / open-data decontamination shape). The eval side is
+# SMALL by construction — benchmark suites are thousands of docs, not
+# billions — so its n-gram set broadcasts (ray.put once, read per task)
+# while the training corpus streams.
+EVAL_MOD = 50
+NGRAM_N = 8
+
+
+def eval_ngram_set(docs: "ray.data.Dataset", n: int = NGRAM_N) -> set[str]:
+    """Collect the benchmark-side n-gram strings (space-joined token runs).
+
+    Materializes ONLY the eval slice (doc_id % EVAL_MOD == 0) — the small
+    side of the decontamination join."""
+    # doc_id % EVAL_MOD == 0 via subtract/multiply/divide (pyarrow has no
+    # modulo kernel; integer divide truncates, doc_id is non-negative)
+    ev = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], EVAL_MOD), EVAL_MOD),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    grams: set[str] = set()
+    for batch in ev.iter_batches(batch_format="pyarrow"):
+        flat, parent = _explode_terms(pa.table(batch))
+        grams.update(_ngram_strings(flat, parent, n)[0].to_pylist())
+    return grams
+
+
+def _ngram_strings(flat: pa.Array, parent: np.ndarray, n: int):
+    """(space-joined n-gram array, parent doc index per gram) from the
+    exploded term stream — n-1 shifted zero-copy slices joined element-wise,
+    masked to runs that stay within one document."""
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.array([], type=pa.string()), np.array([], dtype=parent.dtype)
+    mask = parent[: m] == parent[n - 1:]
+    shifts = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*shifts, " ")
+    amask = pa.array(mask)
+    return grams.filter(amask), parent[:m][mask]
+
+
+def decontaminate(docs: "ray.data.Dataset", n: int = NGRAM_N) -> "ray.data.Dataset":
+    """Per training doc: how many of its n-gram occurrences hit the
+    benchmark set, and the contaminated flag. Output (doc_id, n_hits,
+    contaminated) over the non-eval docs."""
+    grams = eval_ngram_set(docs, n)
+    import ray
+
+    grams_ref = ray.put(pa.array(sorted(grams), type=pa.string()))
+
+    def fn(t: pa.Table, ref=grams_ref) -> pa.Table:
+        import ray as _ray
+
+        value_set = _ray.get(ref)
+        mod = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], EVAL_MOD), EVAL_MOD)
+        )
+        t = t.filter(pc.not_equal(mod, 0))
+        nrows = t.num_rows
+        flat, parent = _explode_terms(t)
+        g, gp = _ngram_strings(flat, parent, n)
+        hits = np.zeros(nrows, dtype=np.int64)
+        if len(g):
+            isin = pc.is_in(g, value_set=value_set).to_numpy(zero_copy_only=False)
+            np.add.at(hits, gp[isin], 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def md5_hex(texts) -> list[str]:
     """Stable content fingerprint (hex md5) — matches DuckDB md5(text)."""
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]

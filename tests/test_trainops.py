@@ -359,3 +359,75 @@ def test_tfidf_top_terms_vs_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype({"tf": "int64", "df": "int64"}), want.astype({"tf": "int64", "df": "int64"}))
+
+
+def test_repetition_stats_vs_brute(ray_session):
+    import re
+
+    texts = [
+        "spam spam spam spam spam",                 # one word repeated
+        "a b c d e f g h",                          # all distinct
+        "go go stop go go stop go go",              # dominant bigram "go go"
+        "",                                         # empty
+        "one",                                      # single word (no bigrams)
+    ]
+    out = (
+        textops.repetition_stats(docs_ds(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    word = re.compile(textops.WORD_RE)
+    for i, s in enumerate(texts):
+        toks = word.findall(s.lower())
+        nw, nd = len(toks), len(set(toks))
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max((bgs.count(g) for g in set(bgs)), default=0)
+        row = out.iloc[i]
+        assert row["n_words"] == nw
+        assert row["n_distinct"] == nd
+        assert row["dup_word_ratio"] == pytest.approx(
+            round((nw - nd) / max(nw, 1), 6), abs=1e-9
+        )
+        assert row["top_bigram_frac"] == pytest.approx(
+            round(top / max(len(bgs), 1), 6), abs=1e-9
+        )
+    # the spam doc and the go-go doc are flagged, the distinct doc is not
+    assert out.iloc[0]["dup_word_ratio"] > 0.7
+    assert out.iloc[1]["dup_word_ratio"] == 0.0
+    assert out.iloc[2]["top_bigram_frac"] > 0.4
+
+
+def test_decontaminate_flags_ngram_overlap(ray_session):
+    mod, n = textops.EVAL_MOD, textops.NGRAM_N
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "unrelated words entirely different content nothing shared here at all ok"
+    # contains the eval doc's first 8-gram verbatim inside other text
+    contaminated = "prefix alpha beta gamma delta epsilon zeta eta theta suffix"
+    ids = [0 * mod, 1, 2]  # doc 0 is the eval doc (0 % mod == 0)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([ids[0], 1, 2], pa.int64()),
+                  "text": [eval_text, clean, contaminated]})
+    ).repartition(2)
+    out = textops.decontaminate(ds, n=n).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2]  # eval doc excluded from output
+    byid = out.set_index("doc_id")
+    assert not byid.loc[1, "contaminated"]
+    assert byid.loc[2, "contaminated"]
+    assert byid.loc[2, "n_hits"] == 1  # exactly one 8-token run matches
+
+
+def test_decontaminate_hit_counts_multiplicity(ray_session):
+    """Each occurrence of a shared n-gram counts once (position-level)."""
+    n = textops.NGRAM_N
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    ds = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [run, f"{run} {run}"],  # doc 1 repeats the run twice
+        })
+    )
+    out = textops.decontaminate(ds, n=n).to_pandas()
+    # "run run" has 9 overlapping 8-grams; the shared one appears at
+    # positions 0 and 8, plus 7 rolling grams that are NOT in the eval set
+    assert int(out.loc[out.doc_id == 1, "n_hits"].iloc[0]) == 2
