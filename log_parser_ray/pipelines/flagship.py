@@ -68,23 +68,31 @@ def run(
     narrow blocks on driver threads — independent shuffles whose barrier
     latencies would otherwise stack into a fixed cost that caps scaling
     efficiency."""
-    from log_parser_ray.stages.enrich import default_pool_size
-    from log_parser_ray.stages.route import EnrichWriteProject
+    from log_parser_ray.stages.route import enrich_write_project
 
     t0 = time.perf_counter()
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="logpipe_run_")
     narrow_cols = ["conv_id", "turn_idx", "category", "hour", "tool_name", "rt_us", "sink"]
-    conc = enrich_concurrency if enrich_concurrency is not None else default_pool_size()
+    # A plain-function stage (NOT an actor pool) so Ray fuses
+    # read → parse → enrich+write+project into ONE task per input block:
+    # full-width text blocks never transit the object store at all (the
+    # actor-pool form still paid one read-task → store → actor round-trip,
+    # the dominant shared-memory traffic on a single box — BASELINE.md).
+    # An explicit enrich_concurrency caps concurrent tasks (tests / small
+    # runs); by default the streaming executor sizes tasks to the cluster.
+    mb_kwargs = {}
+    if enrich_concurrency is not None:
+        mb_kwargs["concurrency"] = enrich_concurrency
     narrow = (
         parse_dataset(transcripts)
         .map_batches(
-            EnrichWriteProject,
-            fn_constructor_kwargs={"out_dir": out_dir, "narrow_cols": narrow_cols},
+            enrich_write_project,
+            fn_kwargs={"out_dir": out_dir, "narrow_cols": tuple(narrow_cols)},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=32768,
-            concurrency=conc,
+            **mb_kwargs,
         )
         .materialize()
     )

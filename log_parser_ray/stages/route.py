@@ -93,6 +93,35 @@ class EnrichWriteProject:
         return full.select(self.narrow_cols)
 
 
+_FUSED_CACHE: dict = {}
+
+
+def enrich_write_project(batch, *, out_dir: str, narrow_cols: tuple,
+                         tool_categories_ref=None, role_severities_ref=None):
+    """Task-pool variant of :class:`EnrichWriteProject` — a plain FUNCTION so
+    Ray fuses it (and the stateless parse maps) INTO the ReadParquet tasks:
+    the text-bearing blocks are born, parsed, enriched, written to the sink
+    layout and projected to the narrow columns inside ONE task, so they never
+    transit the object store even once. (The actor-pool form cannot fuse with
+    the read — actors are a separate operator — which left exactly one
+    store round-trip for the full-width blocks: read task → store → actor.
+    On one box that round-trip is the shared-memory traffic that caps
+    flagship scaling; see BASELINE.md.)
+
+    Setup state (broadcast lookup dicts) is cached per WORKER PROCESS keyed
+    by the stage parameters — same construct-once economics as the actor
+    ``__init__``, without forfeiting read fusion."""
+    key = (out_dir, tuple(narrow_cols), tool_categories_ref, role_severities_ref)
+    inst = _FUSED_CACHE.get(key)
+    if inst is None:
+        inst = _FUSED_CACHE[key] = EnrichWriteProject(
+            out_dir, list(narrow_cols),
+            tool_categories_ref=tool_categories_ref,
+            role_severities_ref=role_severities_ref,
+        )
+    return inst(batch)
+
+
 def sink_filter(ds: "ray.data.Dataset", sink: str) -> "ray.data.Dataset":
     """One routed sink as a Dataset (vectorized Arrow filter, streams)."""
     import pyarrow.compute as pc
