@@ -107,7 +107,14 @@ def run_flagship(sf_dir: str, repeat: int = 1) -> dict:
 
     from log_parser_ray.pipelines import flagship
 
-    tr = ray.data.read_parquet(_corpus_path(sf_dir, repeat))
+    path = _corpus_path(sf_dir, repeat)
+    # Pin one block per parquet file: Ray's default parallelism heuristic
+    # inserts SplitBlocks after the read, which blocks operator fusion of
+    # read -> parse -> enrich+write+project and forces every full-width text
+    # block through the object store once. The corpus writer sizes files to
+    # 200-400k rows precisely so file-granularity blocks saturate the CPUs.
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    tr = ray.data.read_parquet(path, override_num_blocks=max(n_files, 1))
     out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
     t0 = time.perf_counter()
     res = flagship.run(tr, out_dir=out_dir)

@@ -85,13 +85,19 @@ def run(
     if enrich_concurrency is not None:
         mb_kwargs["concurrency"] = enrich_concurrency
     narrow = (
-        parse_dataset(transcripts)
+        parse_dataset(transcripts, batch_size=None)
         .map_batches(
             enrich_write_project,
             fn_kwargs={"out_dir": out_dir, "narrow_cols": tuple(narrow_cols)},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=32768,
+            # batch_size intentionally UNSET: a batch_size pins
+            # min_rows_per_bundled_input on the stage, and Ray refuses to fuse
+            # a Read (can_modify_num_rows) into a stage with a row floor —
+            # which forces every full-width text block through the object
+            # store once. Unset, the batch is the whole input block (the
+            # corpus writer bounds files to 200-400k rows), and the plan is
+            # ReadParquet->parse->enrich_write_project in ONE task.
             **mb_kwargs,
         )
         .materialize()
