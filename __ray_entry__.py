@@ -790,6 +790,26 @@ def q_lang_id_counts(sf_dir: str):
     return grouped_count(ds, ["lang", "pred_lang"], alias="n")
 
 
+def q_pii_stats(sf_dir: str):
+    """PII scrub report over the transcript corpus: per-rule match and
+    affected-row totals (uid=… auth identifiers hit on this corpus; the
+    email/ip/phone rules exercise the same kernels). Single map pass +
+    ≤4-row combine."""
+    from log_parser_ray.stages import pii
+
+    return pii.pii_stats(_transcripts(sf_dir))
+
+
+def q_pii_redacted_rows(sf_dir: str):
+    """Redacted transcript text (typed placeholders) with per-row redaction
+    counts — value-hash-compared against the DuckDB regexp_replace chain."""
+    from log_parser_ray.stages import pii
+
+    return pii.pii_redact(
+        _transcripts(sf_dir), keep_cols=["conv_id", "turn_idx"]
+    )
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality flags: duplicate-word ratio and
     top-bigram fraction per doc (vectorized in-task explode, no shuffle)."""
@@ -1015,6 +1035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id_counts": q_lang_id_counts,
+        "pii_stats": q_pii_stats,
+        "pii_redacted_rows": q_pii_redacted_rows,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "doclen_percentiles": q_doclen_percentiles,
@@ -1202,6 +1224,33 @@ def _baseline_case() -> str:
 
 def _baseline_keys() -> str:
     return ", ".join(f"'{k}'" for k in PERF_BASELINE_US)
+
+
+def _pii_oracle_sqls() -> tuple[str, str]:
+    """(pii_stats SQL, pii_redacted_rows SQL) over the transcripts CTE —
+    the same PII_RULES applied in the same order (both engines are RE2)."""
+    from log_parser_ray.stages.pii import PII_RULES, pii_sql_exprs
+
+    red = "text"
+    per_rule = []
+    for name, pattern, repl in PII_RULES:
+        pat = pattern.replace("'", "''")
+        per_rule.append(
+            f"""SELECT '{name}' AS rule,
+                   CAST(COALESCE(SUM(len(regexp_extract_all({red}, '{pat}'))), 0) AS BIGINT)
+                     AS n_matches,
+                   CAST(COALESCE(SUM(CASE WHEN regexp_matches({red}, '{pat}')
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows
+            FROM transcripts"""
+        )
+        red = f"regexp_replace({red}, '{pat}', '{repl.replace(chr(39), chr(39) * 2)}', 'g')"
+    stats_sql = " UNION ALL ".join(per_rule)
+    red_expr, cnt_expr = pii_sql_exprs("text")
+    redact_sql = (
+        f"SELECT conv_id, turn_idx, {red_expr} AS text, "
+        f"CAST({cnt_expr} AS BIGINT) AS n_redactions FROM transcripts"
+    )
+    return stats_sql, redact_sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1544,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '{textops.BPE_RE}'))) AS BIGINT)
                      AS sum_tokens
             FROM documents GROUP BY source""",
+        "pii_stats": P + _pii_oracle_sqls()[0],
+        "pii_redacted_rows": P + _pii_oracle_sqls()[1],
         "lang_id_counts": f"""
             SELECT lang,
                    CASE WHEN len(regexp_extract_all(lower(text), '{textops.STOP_RE}'))

@@ -431,3 +431,49 @@ def test_decontaminate_hit_counts_multiplicity(ray_session):
     # "run run" has 9 overlapping 8-grams; the shared one appears at
     # positions 0 and 8, plus 7 rolling grams that are NOT in the eval set
     assert int(out.loc[out.doc_id == 1, "n_hits"].iloc[0]) == 2
+
+
+def test_pii_redact_and_stats(ray_session):
+    from log_parser_ray.stages import pii
+
+    texts = [
+        "contact me at alice.smith+x@example.co.uk for details",
+        "server 10.0.42.7 returned 503; call 555-867-5309 now",
+        "login uid=u42 ok; also uid=admin7",
+        "nothing sensitive here",
+        "two mails a@b.io and c_d@e-f.org on host 192.168.1.1",
+    ]
+    red = (
+        pii.pii_redact(docs_ds(texts), keep_cols=["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert red.loc[0, "text"] == "contact me at <EMAIL> for details"
+    assert red.loc[1, "text"] == "server <IP> returned 503; call <PHONE> now"
+    assert red.loc[2, "text"] == "login uid=<UID> ok; also uid=<UID>"
+    assert red.loc[3, "text"] == "nothing sensitive here"
+    assert red.loc[4, "text"] == "two mails <EMAIL> and <EMAIL> on host <IP>"
+    assert list(red["n_redactions"]) == [1, 2, 2, 0, 3]
+
+    stats = pii.pii_stats(docs_ds(texts)).to_pandas().set_index("rule")
+    assert stats.loc["email", "n_matches"] == 3
+    assert stats.loc["email", "n_rows"] == 2
+    assert stats.loc["ipv4", "n_matches"] == 2
+    assert stats.loc["phone", "n_matches"] == 1
+    assert stats.loc["uid", "n_matches"] == 2
+    assert stats.loc["uid", "n_rows"] == 1
+
+
+def test_pii_ipv4_word_boundaries(ray_session):
+    """The ipv4 rule honors word boundaries: a 4-digit trailing group is not
+    an octet, and a dotted quad embedded in a longer digit run stays put."""
+    from log_parser_ray.stages import pii
+
+    out = (
+        pii.pii_redact(
+            docs_ds(["ok 255.123.456.789 bad 10.0.0.1234 v5.1.2.3"])
+        )
+        .to_pandas()
+    )
+    assert out.loc[0, "text"] == "ok <IP> bad 10.0.0.1234 v5.1.2.3"
