@@ -897,10 +897,11 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed ANN top-5 (rows-only; tests pin recall vs brute force)."""
+    """IVF-bucketed ANN top-5 (rows-only; tests pin recall vs brute force).
+    Centroids fit from a bounded deterministic sample — the full matrix is
+    never collected."""
     qids, qm = sim.load_queries(sf_dir, n_queries=5)
-    _, m = sim.load_matrix(sf_dir)
-    cents = sim.kmeans_fit(m, n_clusters=10)
+    cents = sim.kmeans_fit_sampled(_embeddings(sf_dir), n_clusters=10)
     return sim.knn_ivf(_embeddings(sf_dir), qids, qm, cents, k=5, nprobe=3)
 
 

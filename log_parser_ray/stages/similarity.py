@@ -108,14 +108,47 @@ def kmeans_fit(
     map_batches pass."""
     rs = np.random.RandomState(seed)
     centroids = m[rs.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    m_sq = (m * m).sum(axis=1, keepdims=True)  # |x|² reused every iteration
     for _ in range(n_iter):
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # argmin ‖x−c‖² = argmin (|c|² − 2 x·c): one (n,k) matmul instead of
+        # the (n,k,d) broadcast temporary
+        d = m_sq + (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (m @ centroids.T)
         assign = d.argmin(axis=1)
         for c in range(len(centroids)):
             pts = m[assign == c]
             if len(pts):
                 centroids[c] = pts.mean(axis=0)
     return centroids
+
+
+def kmeans_fit_sampled(
+    emb: "ray.data.Dataset",
+    n_clusters: int = 10,
+    sample_target: int = 20_000,
+    n_iter: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Coarse-quantizer fit from a BOUNDED deterministic sample of the
+    embedding Dataset — the at-scale fit path: only ~sample_target vectors
+    ever reach the driver, regardless of corpus size. The sample is the
+    engine-exact md5-bucket filter (sketch.sample_by_hash), so the fitted
+    centroids are reproducible across runs and cluster sizes; Lloyd's then
+    runs locally on the sample (a coarse quantizer needs only a sketch of
+    the density, not the corpus)."""
+    from log_parser_ray.stages.sketch import sample_by_hash
+
+    n = emb.count()  # parquet metadata, not a scan
+    if n > sample_target:
+        frac = sample_target / n
+        keep = max(1, min(65536, round(frac * 65536)))
+        emb = sample_by_hash(emb, id_col, keep_buckets=keep)
+    parts = [
+        _to_matrix(pa.table(b)["embedding"])
+        for b in emb.iter_batches(batch_format="pyarrow")
+    ]
+    m = np.concatenate(parts, axis=0)
+    return kmeans_fit(m, n_clusters=n_clusters, n_iter=n_iter, seed=seed)
 
 
 def knn_ivf(

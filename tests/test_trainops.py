@@ -477,3 +477,24 @@ def test_pii_ipv4_word_boundaries(ray_session):
         .to_pandas()
     )
     assert out.loc[0, "text"] == "ok <IP> bad 10.0.0.1234 v5.1.2.3"
+
+
+def test_kmeans_fit_sampled_bounded_and_deterministic(ray_session):
+    """The sampled quantizer fit collects only ~sample_target vectors, is
+    reproducible, and yields an IVF recall comparable to the full fit."""
+    rs = np.random.RandomState(3)
+    centers = rs.standard_normal((4, 8)) * 4
+    m = np.vstack([c + rs.standard_normal((60, 8)) for c in centers])
+    ds = emb_ds(m)
+    c1 = sim.kmeans_fit_sampled(ds, n_clusters=4, sample_target=100)
+    c2 = sim.kmeans_fit_sampled(ds, n_clusters=4, sample_target=100)
+    np.testing.assert_array_equal(c1, c2)  # deterministic across runs
+
+    qids = np.array([0, 70, 130])
+    qm = m[[0, 70, 130]].astype(np.float32).astype(np.float64)
+    got = sim.knn_ivf(ds, qids, qm, c1, k=5, nprobe=2)
+    want = sim.knn_bruteforce(ds, qids, qm, k=5)
+    inter = set(zip(got["query_id"], got["vec_id"])) & set(
+        zip(want["query_id"], want["vec_id"])
+    )
+    assert len(inter) / len(want) >= 0.8  # recall vs brute force
