@@ -25,3 +25,16 @@ CLI entry points, ``bench.py`` and the pytest fixture only.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+# The driver-generated parquet files carry pandas metadata in their Arrow
+# schema, and a pyarrow Schema with metadata is unhashable (hash() raises
+# "unhashable type: 'dict'"). Ray Data's block-schema dedup cache tries
+# hash(schema) and logs a warning per worker on the miss before taking the
+# (correct) slow unify path. Pure noise for us; pin that logger to ERROR.
+# This module is imported inside every worker that deserializes our stage
+# callables, so the pin applies where the warning is emitted.
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+    _logging.ERROR
+)

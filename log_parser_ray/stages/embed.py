@@ -25,6 +25,15 @@ EMBED_DIM = 64
 
 class HashEmbedder:
     def __init__(self, dim: int = EMBED_DIM):
+        # Worker-side: silence Ray's benign schema-dedup warning (input
+        # blocks carry unhashable parquet pandas-metadata; see package
+        # __init__). Actor __init__ runs after the worker's logging setup,
+        # so this pin sticks where the import-time one can be overridden.
+        import logging
+
+        logging.getLogger(
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        ).setLevel(logging.ERROR)
         self.dim = dim
         self._word = re.compile(WORD_RE)
         self._cache: dict[str, tuple[int, int]] = {}  # token → (bucket, sign)
