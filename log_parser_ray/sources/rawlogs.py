@@ -110,14 +110,15 @@ def read_raw_logs(paths, *, file_pattern: str | None = None) -> "ray.data.Datase
             elif payload[:4] == b"PK\x03\x04":
                 # .zip (the reference's WAS rotation format,
                 # websphereLogParser.sh:107-114: `unzip -p`): concatenate
-                # members in name order, like unzip -p streams them
+                # members in ARCHIVE (central-directory) order — the order
+                # unzip -p streams them, which can differ from name order
                 import io
                 import zipfile
 
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:
                     payload = b"".join(
-                        zf.read(n) for n in sorted(zf.namelist())
-                        if not n.endswith("/")
+                        zf.read(info) for info in zf.infolist()
+                        if not info.filename.endswith("/")
                     )
             lines = payload.decode("utf-8", errors="replace").splitlines()
             stem = _stem(path)

@@ -45,13 +45,17 @@ def pii_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Datas
     from log_parser_ray.stages.aggregate import sorted_combine
 
     def partial(t: pa.Table) -> pa.Table:
+        # Progressive chain — count rule i over text already redacted by
+        # rules 0..i-1, mirroring pii_redact (and the oracle's nested
+        # regexp_replace), so matches-inside-matches are counted once.
         col = t[text_col]
         names, matches, rows = [], [], []
-        for name, pattern, _ in PII_RULES:
+        for name, pattern, repl in PII_RULES:
             c = pc.count_substring_regex(col, pattern)
             names.append(name)
             matches.append(pc.sum(c).as_py() or 0)
             rows.append(pc.sum(pc.greater(c, 0)).as_py() or 0)
+            col = pc.replace_substring_regex(col, pattern, repl)
         return pa.table(
             {
                 "rule": pa.array(names),

@@ -93,7 +93,11 @@ class EnrichWriteProject:
         return full.select(self.narrow_cols)
 
 
-_FUSED_CACHE: dict = {}
+# Single-slot (key, instance) cache: a worker only ever serves one run's
+# stage parameters at a time, and an unbounded dict would leak one
+# EnrichWriteProject (plus its broadcast lookup dicts) per distinct out_dir
+# across a long-lived worker's repeated pipeline runs.
+_FUSED_CACHE: list = [None, None]
 
 
 def enrich_write_project(batch, *, out_dir: str, narrow_cols: tuple,
@@ -112,14 +116,14 @@ def enrich_write_project(batch, *, out_dir: str, narrow_cols: tuple,
     by the stage parameters — same construct-once economics as the actor
     ``__init__``, without forfeiting read fusion."""
     key = (out_dir, tuple(narrow_cols), tool_categories_ref, role_severities_ref)
-    inst = _FUSED_CACHE.get(key)
-    if inst is None:
-        inst = _FUSED_CACHE[key] = EnrichWriteProject(
+    if _FUSED_CACHE[0] != key:
+        _FUSED_CACHE[0] = key
+        _FUSED_CACHE[1] = EnrichWriteProject(
             out_dir, list(narrow_cols),
             tool_categories_ref=tool_categories_ref,
             role_severities_ref=role_severities_ref,
         )
-    return inst(batch)
+    return _FUSED_CACHE[1](batch)
 
 
 def sink_filter(ds: "ray.data.Dataset", sink: str) -> "ray.data.Dataset":

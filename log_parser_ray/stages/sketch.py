@@ -53,7 +53,6 @@ WINNOW_P = (1 << 31) - 1
 WINNOW_B = 131
 WINNOW_K = 8  # k-gram length (characters, after normalization)
 WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
-WINNOW_SQL_MAXLEN = 4096  # oracle-side constant position range (test docs ≤ ~600 chars)
 
 _NON_ALNUM = re.compile(r"[^a-z0-9]")
 
@@ -134,14 +133,15 @@ def winnow_oracle_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
   FROM documents),
+pos AS (
+  -- list-valued range() (scalar fn, unlike the table fn it accepts column
+  -- parameters) + unnest gives exactly len(s)-k+1 positions per doc —
+  -- covers any doc length, no silent cap
+  SELECT doc_id, s, unnest(range(0, len(s) - {k} + 1)) AS i FROM norm),
 grams AS (
-  -- constant-bound range + filter: this DuckDB build rejects lateral
-  -- column parameters in range(); WINNOW_SQL_MAXLEN caps normalized doc
-  -- length for the ORACLE only (the Ray side has no cap)
   SELECT doc_id, CAST(i AS BIGINT) AS i,
          substr(s, CAST(i + 1 AS INTEGER), {k}) AS g
-  FROM norm, range({WINNOW_SQL_MAXLEN}) t(i)
-  WHERE i < len(s) - {k} + 1),
+  FROM pos),
 powv(j, p) AS (SELECT j, CAST(p AS BIGINT) FROM (VALUES {pow_rows}) v(j, p)),
 hashed AS (
   SELECT doc_id, i,

@@ -35,7 +35,8 @@ def test_read_plain_and_gz(ray_session, tmp_path):
 
 def test_read_zip(ray_session, tmp_path):
     """.zip rotations (the reference's WAS format, unzip -p analogue):
-    members concatenate in name order."""
+    members concatenate in ARCHIVE order — the order `unzip -p` streams
+    them — even when that differs from sorted-name order."""
     import io
     import zipfile
 
@@ -46,7 +47,8 @@ def test_read_zip(ray_session, tmp_path):
     (tmp_path / "serverC.zip").write_bytes(buf.getvalue())
     df = read_raw_logs(str(tmp_path)).to_pandas()
     assert df["conv_id"].unique().tolist() == ["serverC"]
-    assert df["text"].tolist() == LINES_A + LINES_B  # name order, not write order
+    # archive (write) order: part2 first, then part1 — NOT name order
+    assert df["text"].tolist() == LINES_B + LINES_A
     assert df["turn_idx"].tolist() == list(range(len(LINES_A) + len(LINES_B)))
 
 

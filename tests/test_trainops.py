@@ -465,6 +465,21 @@ def test_pii_redact_and_stats(ray_session):
     assert stats.loc["uid", "n_rows"] == 1
 
 
+def test_pii_stats_progressive_chain(ray_session):
+    """pii_stats counts rule i over text already redacted by rules 0..i-1
+    (the pii_redact / oracle convention): an IP inside an email is consumed
+    by the email rule and NOT double-counted by the ipv4 rule."""
+    from log_parser_ray.stages import pii
+
+    stats = (
+        pii.pii_stats(docs_ds(["contact 1.2.3.4@mail.com and 5.6.7.8"]))
+        .to_pandas()
+        .set_index("rule")
+    )
+    assert stats.loc["email", "n_matches"] == 1
+    assert stats.loc["ipv4", "n_matches"] == 1  # only the standalone quad
+
+
 def test_pii_ipv4_word_boundaries(ray_session):
     """The ipv4 rule honors word boundaries: a 4-digit trailing group is not
     an octet, and a dotted quad embedded in a longer digit run stays put."""
