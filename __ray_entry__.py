@@ -868,13 +868,25 @@ def q_minhash_near_dups(sf_dir: str):
     )
 
 
+def collect_clusters(ds) -> "pd.DataFrame":
+    """Contract-edge pandas shim for minhash_clusters_ds (the package API
+    returns the Dataset; per-doc collection happens only here/in tests)."""
+    df = ds.to_pandas()
+    df["cluster_size"] = df["cluster_size"].astype("int64")
+    return (
+        df[["doc_id", "cluster_id", "cluster_size"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_minhash_clusters(sf_dir: str):
     """Scalable LSH dedup: near-dup clusters via verified bucket edges +
     connected components (rows-only; tests pin cluster membership)."""
-    return ddp.minhash_clusters(
+    return collect_clusters(ddp.minhash_clusters_ds(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         threshold=0.9,
-    )
+    ))
 
 
 def q_simhash_fingerprints(sf_dir: str):
@@ -917,7 +929,9 @@ def q_curate_report(sf_dir: str):
         min_words=20,
         max_stop_ratio=0.6,
     )
-    return res["dispositions"]
+    return (
+        res["dispositions"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
 
 
 def q_text_knn(sf_dir: str):

@@ -50,6 +50,11 @@ def _partial(keys: Sequence[str], aggs: list[tuple[str, str]]):
 # otherwise), while bounding per-task memory to ~1M rows at scale.
 COMBINE_ROWS = 1 << 20
 
+# group_safe_map pre-sort coalesce target (see its docstring): blocks below
+# this size are merged before the range sort so the sort's task fan-out
+# tracks DATA size, not reader parallelism.
+_SORT_TARGET_BLOCK_BYTES = 8 << 20
+
 
 def _mb(ds, fn, batch_size=None):
     """batch_size=None → whole-block batches (required wherever the fn relies
@@ -106,8 +111,25 @@ def group_safe_map(
     operator has for a single hot group.
 
     Pinned by tests/test_aggregate.py::test_group_safe_under_block_splits
-    with target_max_block_size forced tiny."""
+    with target_max_block_size forced tiny.
+
+    Pre-sort coalesce: Ray's range sort costs O(num_input_blocks) sample +
+    shuffle TASKS, so a tiny table fragmented into reader-parallelism blocks
+    (a 600 KB parquet arrives as ~64 × 9 KB blocks) pays ~130 task
+    latencies per sort — measured 2.8 s for a 6 745-row sort, and the
+    dedup/curate family chains 5-6 such sorts. The input is materialized
+    (the all-to-all boundary holds its input blocks in the object store
+    anyway) and coalesced toward ~8 MB blocks when fragmentation is
+    pathological; large inputs keep their layout, so at 100 TB this is a
+    no-op and the sort keeps full fan-out."""
     keys = list(keys)
+
+    m = ds.materialize()
+    nb = m.num_blocks()
+    size = m.size_bytes() or 0
+    target = max(1, min(nb, size // _SORT_TARGET_BLOCK_BYTES + 1))
+    if nb > 4 * target:
+        m = m.repartition(target)
 
     def apply(d):
         # Generator wrapper: EMPTY batches produce NO output block at all.
@@ -123,7 +145,7 @@ def group_safe_map(
         return d.map_batches(gen, batch_format=batch_format, batch_size=None,
                              **({"zero_copy_batch": True} if batch_format == "pyarrow" else {}))
 
-    s = ds.sort(keys).materialize()
+    s = m.sort(keys).materialize()
     if s.num_blocks() <= 1:
         return apply(s)
 
@@ -162,6 +184,111 @@ def conform_schema(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Datas
     if not refs:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(refs)
+
+
+def merge_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str | Sequence[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    right_on: str | Sequence[str] | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Distributed SORT-MERGE join on plain tasks — no shuffle-actor spawn.
+
+    Ray's hash ``Dataset.join`` spawns a fresh HashShuffleAggregator actor
+    pool per call — measured ~3.5 s of data-independent fixed cost per join
+    on this box (BASELINE.md dedup profile), which stacked up to the whole
+    runtime of the dedup/curation family at test scale. This helper produces
+    the same rows with the repo's sort machinery instead: tag each side,
+    union, range-sort on the key (a task-based shuffle), and run ONE
+    vectorized pandas merge per block — ``group_safe_map`` guarantees all
+    rows of an equal key land in one batch, so the per-block merge is exact.
+    Sort-merge is the classic distributed join (Spark's default for large
+    sides); at cluster scale the sort is the same all-to-all a hash shuffle
+    performs, minus the per-call actor-pool spin-up.
+
+    ``how`` ∈ {inner, left_outer, left_semi, left_anti}. Caveats: join keys
+    must be non-null (SQL would never match nulls; pandas would match
+    NaN == NaN), and the two sides' non-key column names must be disjoint.
+    Schemas are explicit because both inputs are lazy."""
+    import numpy as np
+
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    lvals = [f.name for f in left_schema if f.name not in keys]
+    rvals = [f.name for f in right_schema if f.name not in rkeys]
+    overlap = set(lvals) & set(rvals)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    out_fields = [(k, left_schema.field(k).type) for k in keys]
+    out_fields += [(c, left_schema.field(c).type) for c in lvals]
+    if how in ("inner", "left_outer"):
+        out_fields += [(c, right_schema.field(c).type) for c in rvals]
+    elif how not in ("left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    out_schema = pa.schema(out_fields)
+    rtypes = {c: right_schema.field(c).type for c in rvals}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        for c in lvals:
+            cols[c] = t[c]
+        for c in rvals:
+            cols[c] = pa.nulls(t.num_rows, rtypes[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {k: t[rk] for k, rk in zip(keys, rkeys)}
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        for c in lvals:
+            cols[c] = pa.nulls(t.num_rows, left_schema.field(c).type)
+        for c in rvals:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    uni = _mb(left, tag_left).union(_mb(right, tag_right))
+
+    arrow_how = {
+        "inner": "inner",
+        "left_outer": "left outer",
+        "left_semi": "left semi",
+        "left_anti": "left anti",
+    }[how]
+
+    def emit(b: pa.Table) -> pa.Table:
+        # in-process Acero hash join per co-located block — vectorized and
+        # zero-copy for binary payloads (a pandas merge here would copy every
+        # blob into Python objects)
+        side = b["__side"]
+        lt = b.filter(pc.equal(side, 0)).select(keys + lvals)
+        rt = b.filter(pc.equal(side, 1)).select(keys + rvals)
+        out = lt.join(rt, keys=keys, join_type=arrow_how)
+        return out.select(out_schema.names).cast(out_schema)
+
+    return group_safe_map(uni, keys, emit)
+
+
+def with_group_size(
+    ds: "ray.data.Dataset", keys: Sequence[str], alias: str = "n"
+) -> "ray.data.Dataset":
+    """Append each row's GROUP SIZE over ``keys`` — a window count(*) —
+    in one range-sort pass (replaces grouped_count + a hash join back)."""
+    keys = list(keys)
+
+    def fn(b: pa.Table) -> pa.Table:
+        counts = b.group_by(keys).aggregate([([], "count_all")])
+        counts = counts.rename_columns(keys + [alias])
+        return b.join(counts, keys=keys, join_type="inner")
+
+    return group_safe_map(ds, keys, fn)
 
 
 def sorted_combine(

@@ -240,14 +240,20 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: "ray.data.Dataset", n_perm: int = N_PERM, batch_size: int = 4096
+    docs: "ray.data.Dataset", n_perm: int = N_PERM, batch_size: int = 4096,
+    *, with_token_hashes: bool = False,
 ):
     """(doc_id, sig: fixed_size_list<uint64>[n_perm]) — batch-vectorized.
 
     All tokens of the batch are hashed once (process-cached) into one flat
     uint64 array; (a·h + b) mod p is evaluated for every (perm, token) of a
     bounded doc-chunk at once and per-doc minima come from
-    ``np.minimum.reduceat`` — no per-doc Python in the hash arithmetic."""
+    ``np.minimum.reduceat`` — no per-doc Python in the hash arithmetic.
+
+    ``with_token_hashes=True`` additionally emits each doc's sorted distinct
+    raw token hashes as a binary blob (``th``, the ``doc_token_hashes``
+    layout) — the verify stage's input — so the corpus is TOKENIZED ONCE for
+    both the signatures and the exact-Jaccard verify."""
     a, b = _perm_params(n_perm)
     # chunk sized so the (n_perm × tokens) temporaries stay CACHE-resident:
     # 64 × 4096 × 8 B ≈ 2 MB. Measured on this box: the same arithmetic over
@@ -261,6 +267,7 @@ def minhash_signatures(
         tok_lists = [list(token_set(s)) for s in texts]
         lens = np.fromiter((len(x) for x in tok_lists), np.int64, n)
         sigs = np.full((n, n_perm), np.uint64(MERSENNE_P), dtype=np.uint64)
+        ths: list[bytes | None] = [b""] * n if with_token_hashes else []
         nonempty = np.flatnonzero(lens > 0)
         i = 0
         while i < len(nonempty):
@@ -270,11 +277,14 @@ def minhash_signatures(
                 total += lens[nonempty[j]]
                 j += 1
             docs_ix = nonempty[i:j]
-            flat = _hash_tokens(
-                [tok for d in docs_ix for tok in tok_lists[d]]
-            ) % np.uint64(MERSENNE_P)
+            raw = _hash_tokens([tok for d in docs_ix for tok in tok_lists[d]])
             starts = np.zeros(len(docs_ix), dtype=np.int64)
             np.cumsum(lens[docs_ix[:-1]], out=starts[1:])
+            if with_token_hashes:
+                ends = np.concatenate((starts[1:], [len(raw)]))
+                for d, s0, e0 in zip(docs_ix, starts, ends):
+                    ths[d] = np.sort(raw[s0:e0]).tobytes()
+            flat = raw % np.uint64(MERSENNE_P)
             # (n_perm, total_tokens) hash matrix, then per-doc segment minima
             vals = (flat[None, :] * a[:, None] + b[:, None]) % np.uint64(MERSENNE_P)
             mins = np.minimum.reduceat(vals, starts, axis=1)  # (n_perm, n_docs)
@@ -283,7 +293,10 @@ def minhash_signatures(
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), type=pa.uint64()), n_perm
         )
-        return pa.table({"doc_id": t["doc_id"], "sig": sig_arr})
+        cols = {"doc_id": t["doc_id"], "sig": sig_arr}
+        if with_token_hashes:
+            cols["th"] = pa.array(ths, pa.binary())
+        return pa.table(cols)
 
     return docs.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -341,36 +354,67 @@ def verify_pairs(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
     num_partitions: int = JOIN_PARTITIONS,
+    th_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
-    """Exact Jaccard for candidate pairs — fully distributed.
+    """Exact Jaccard for (distinct) candidate pairs — fully distributed.
 
-    Two hash joins attach each side's token-hash blob to the pair row (the
-    pair table shuffles on a_id then b_id; the doc table ships its hash
-    blobs, never its text), then a vectorized-per-batch pass intersects the
-    sorted hash arrays. Nothing is collected to the driver."""
-    from log_parser_ray.stages.aggregate import conform_schema
+    Two sort-merge passes (task-based — no per-join shuffle-actor spawn)
+    attach each side's token-hash blob to the pair row (the pair table
+    shuffles on a_id then b_id; the doc table ships its hash blobs, never
+    its text), then a vectorized-per-batch pass intersects the sorted hash
+    arrays. The first pass also DEDUPES the candidate pairs exactly — all
+    rows of an ``a_id`` are co-located after the range sort, so distinct
+    (a_id, b_id) is a per-batch group_by there, and callers don't need a
+    separate distinct-pair shuffle. Nothing is collected to the driver.
 
-    th = conform_schema(
-        doc_token_hashes(docs),
-        pa.schema([("doc_id", pa.int64()), ("th", pa.binary())]),
-    )
-    pairs = conform_schema(
-        pairs, pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    )
+    ``th_ds``: optional pre-computed (doc_id, th) table (e.g. emitted by
+    ``minhash_signatures(with_token_hashes=True)``) so the corpus isn't
+    tokenized a second time."""
+    from log_parser_ray.stages.aggregate import group_safe_map, merge_join
 
-    def rename(t: pa.Table, old: str, new: str) -> pa.Table:
-        return t.rename_columns(
-            [new if c == old else c for c in t.column_names]
+    th = (th_ds if th_ds is not None else doc_token_hashes(docs)).materialize()
+    th_schema = pa.schema([("doc_id", pa.int64()), ("th", pa.binary())])
+
+    # pass 1 (hand-rolled): key = a_id; th rows carry a blob and a null
+    # b_id, pair rows the reverse — one range sort co-locates them
+    def tag_th(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["doc_id"], "b_id": pa.nulls(t.num_rows, pa.int64()),
+             "a_th": t["th"]}
         )
 
-    j = pairs.join(th, "inner", num_partitions, on=("a_id",), right_on=("doc_id",))
-    j = conform_schema(
-        j.map_batches(
-            lambda t: rename(t, "th", "a_th"), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()), ("a_th", pa.binary())]),
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["a_id"], "b_id": t["b_id"],
+             "a_th": pa.nulls(t.num_rows, pa.binary())}
+        )
+
+    uni = th.map_batches(tag_th, batch_format="pyarrow", zero_copy_batch=True).union(
+        pairs.map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
-    j = j.join(th, "inner", num_partitions, on=("b_id",), right_on=("doc_id",))
+
+    def attach_a(b: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(b["b_id"])
+        prs = (
+            b.filter(is_pair)
+            .select(["key", "b_id"])
+            .group_by(["key", "b_id"])  # exact distinct: a_id co-located
+            .aggregate([])
+        )
+        blobs = b.filter(pc.invert(is_pair)).select(["key", "a_th"])
+        out = prs.join(blobs, keys=["key"], join_type="inner")
+        return pa.table(
+            {"a_id": out["key"], "b_id": out["b_id"], "a_th": out["a_th"]}
+        )
+
+    j = group_safe_map(uni, ["key"], attach_a)
+    j = merge_join(
+        j, th, on="b_id", right_on="doc_id", how="inner",
+        left_schema=pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()), ("a_th", pa.binary())]
+        ),
+        right_schema=th_schema,
+    )
 
     def jac_fn(t: pa.Table) -> pa.Table:
         a_th = t["a_th"].to_pylist()
@@ -408,14 +452,15 @@ def minhash_near_dups(
 ) -> pd.DataFrame:
     """MinHash-LSH candidate pairs, verified by exact Jaccard ≥ threshold.
 
-    Pipeline: signatures (map_batches) → band buckets (map_batches) →
-    groupby(bucket) pair emission → distinct pairs → DISTRIBUTED join-based
-    verify (verify_pairs). Precision is 1.0 by construction; recall follows
-    the banding S-curve. Returns pandas (pair results are small)."""
-    sigs = minhash_signatures(docs)
+    Pipeline: one tokenize pass emits signatures + token-hash blobs → band
+    buckets (map_batches) → groupby(bucket) pair emission → DISTRIBUTED
+    sort-merge verify (verify_pairs, which also dedupes the candidates).
+    Precision is 1.0 by construction; recall follows the banding S-curve.
+    Returns pandas (pair results are small)."""
+    sigs = minhash_signatures(docs, with_token_hashes=True).materialize()
     buckets = lsh_buckets(sigs)
-    cand = _distinct_pairs(_pairs_from_buckets(buckets, "bucket", "doc_id"))
-    verified = verify_pairs(cand, docs).to_pandas()
+    cand = _pairs_from_buckets(buckets, "bucket", "doc_id")
+    verified = verify_pairs(cand, docs, th_ds=sigs).to_pandas()
     if len(verified) == 0:
         return pd.DataFrame(columns=["a_id", "b_id", "i", "u", "jac"])
     out = verified[verified["jac"] >= threshold].sort_values(["a_id", "b_id"])
@@ -585,12 +630,13 @@ def minhash_clusters_ds(
     (n near-identical docs ⇒ n²/2 pairs). The production shape avoids it:
     per LSH bucket emit only EDGES to the bucket's minimum doc_id
     (O(bucket size), never O(size²)), verify each edge's exact Jaccard with
-    the distributed join-based verify, then connected components by
-    distributed label propagation. Output: (doc_id, cluster_id=min doc in
-    component, cluster_size). No driver-side materialization anywhere —
-    the round-1 token_sets dict and pandas CC fixpoint are gone."""
+    the distributed sort-merge verify (which also dedupes the raw edges),
+    then connected components by distributed label propagation. Output:
+    (doc_id, cluster_id=min doc in component, cluster_size). No driver-side
+    materialization anywhere — the round-1 token_sets dict and pandas CC
+    fixpoint are gone."""
 
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, with_token_hashes=True).materialize()
     buckets = lsh_buckets(sigs)
 
     def edges_fn(b: pa.Table) -> pa.Table:
@@ -618,29 +664,25 @@ def minhash_clusters_ds(
             }
         )
 
-    from log_parser_ray.stages.aggregate import group_safe_map, grouped_count
+    from log_parser_ray.stages.aggregate import (
+        group_safe_map,
+        merge_join,
+        with_group_size,
+    )
 
     ids = docs.select_columns(["doc_id"])
+    lab_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
     def self_cluster(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "cluster_id": t["doc_id"]})
 
-    raw_edges = _distinct_pairs(
-        group_safe_map(buckets, ["bucket"], edges_fn)
-    ).materialize()
+    raw_edges = group_safe_map(buckets, ["bucket"], edges_fn).materialize()
     if raw_edges.count() == 0:
-        from log_parser_ray.stages.aggregate import conform_schema
-
-        all_lab = conform_schema(
-            ids.map_batches(self_cluster, batch_format="pyarrow", zero_copy_batch=True),
-            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
-        ).materialize()
-        sizes = conform_schema(
-            grouped_count(all_lab, ["cluster_id"], alias="cluster_size"),
-            pa.schema([("cluster_id", pa.int64()), ("cluster_size", pa.int64())]),
+        all_lab = ids.map_batches(
+            self_cluster, batch_format="pyarrow", zero_copy_batch=True
         )
-        return all_lab.join(sizes, "inner", num_partitions, on=("cluster_id",))
-    verified = verify_pairs(raw_edges, docs, num_partitions)
+        return with_group_size(all_lab, ["cluster_id"], alias="cluster_size")
+    verified = verify_pairs(raw_edges, docs, num_partitions, th_ds=sigs)
     edges = verified.map_batches(
         lambda t, th=threshold: t.filter(pc.greater_equal(t["jac"], th)).select(
             ["a_id", "b_id"]
@@ -654,41 +696,33 @@ def minhash_clusters_ds(
     def as_cluster(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
 
-    from log_parser_ray.stages.aggregate import conform_schema
-
-    lab_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
     clustered = labels.map_batches(as_cluster, batch_format="pyarrow", zero_copy_batch=True)
 
-    singles = conform_schema(ids, pa.schema([("doc_id", pa.int64())])).join(
-        labels, "left_anti", num_partitions, on=("doc_id",), right_on=("node",)
+    # one left-outer sort-merge join attaches each doc's component label;
+    # docs in no verified edge get themselves as the label (singletons) —
+    # replaces the previous anti-join + union (one fewer shuffle, and no
+    # hash-join actor pools anywhere in the pipeline)
+    withlab = merge_join(
+        ids, clustered, on="doc_id", how="left_outer",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=lab_schema,
     )
-
-    all_lab = conform_schema(
-        clustered.union(
-            singles.map_batches(self_cluster, batch_format="pyarrow", zero_copy_batch=True)
+    all_lab = withlab.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "cluster_id": pc.coalesce(t["cluster_id"], t["doc_id"])}
         ),
-        lab_schema,
-    ).materialize()
-
-    sizes = conform_schema(
-        grouped_count(all_lab, ["cluster_id"], alias="cluster_size"),
-        pa.schema([("cluster_id", pa.int64()), ("cluster_size", pa.int64())]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
-    return all_lab.join(sizes, "inner", num_partitions, on=("cluster_id",))
+
+    # window count(*) over cluster_id in one sort pass — replaces
+    # grouped_count + a join back onto the label table
+    return with_group_size(all_lab, ["cluster_id"], alias="cluster_size")
 
 
-def minhash_clusters(
-    docs: "ray.data.Dataset", threshold: float = 0.9
-) -> pd.DataFrame:
-    """minhash_clusters_ds collected to the (small, one-row-per-doc-id)
-    report frame sorted by doc_id — the query/test contract."""
-    df = minhash_clusters_ds(docs, threshold).to_pandas()
-    df["cluster_size"] = df["cluster_size"].astype(np.int64)
-    return (
-        df[["doc_id", "cluster_id", "cluster_size"]]
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+# NOTE: minhash_clusters_ds is the primary (Dataset-returning) API; pandas
+# collection of the per-doc label table happens only at contract edges
+# (__ray_entry__ / tests), never inside the package.
 
 
 # ---------------------------------------------------------------------------

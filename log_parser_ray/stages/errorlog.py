@@ -135,11 +135,12 @@ def parse_error_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """M15+M16+J3: rdy lines ⟕ bsy-by-plugin lines on exact (srv, dtm).
 
-    Both sides are extracted vectorized; the join is a Ray hash join on the
-    composite key; a missing bsy side yields 0 (webErrorLogParser.sh:280-288
-    left semantics). Plugin matching is order-insensitive regex (absent
-    plugin → 0, :192-232)."""
-    from log_parser_ray.stages.aggregate import conform_schema
+    Both sides are extracted vectorized; the join is a task-based sort-merge
+    join on the composite key (aggregate.merge_join — no per-call
+    hash-shuffle actor spawn); a missing bsy side yields 0
+    (webErrorLogParser.sh:280-288 left semantics). Plugin matching is
+    order-insensitive regex (absent plugin → 0, :192-232)."""
+    from log_parser_ray.stages.aggregate import merge_join
 
     def rdy_fn(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t["text"], RDY_RE)
@@ -178,15 +179,12 @@ def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         [("srv", pa.string()), ("dtm", pa.string()),
          ("was_bsy", pa.int64()), ("wbg_bsy", pa.int64())]
     )
-    rdy = conform_schema(
-        ds.map_batches(rdy_fn, batch_format="pyarrow", zero_copy_batch=True),
-        rdy_schema,
+    rdy = ds.map_batches(rdy_fn, batch_format="pyarrow", zero_copy_batch=True)
+    bsy = ds.map_batches(bsy_fn, batch_format="pyarrow", zero_copy_batch=True)
+    joined = merge_join(
+        rdy, bsy, on=("srv", "dtm"), how="left_outer",
+        left_schema=rdy_schema, right_schema=bsy_schema,
     )
-    bsy = conform_schema(
-        ds.map_batches(bsy_fn, batch_format="pyarrow", zero_copy_batch=True),
-        bsy_schema,
-    )
-    joined = rdy.join(bsy, "left_outer", 8, on=("srv", "dtm"))
 
     def fill(t: pa.Table) -> pa.Table:
         t = t.set_column(

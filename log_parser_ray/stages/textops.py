@@ -111,20 +111,22 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
     both engines (identical ordering); the EMITTED columns are exact integers
     and strings, so the result is hash-safe."""
     from log_parser_ray.stages.aggregate import (
-        conform_schema,
         group_safe_map,
         grouped_count,
         grouped_stats,
+        merge_join,
     )
 
     per = doc_term_counts(docs)
     tf = grouped_stats(per, ["source", "term"], "cnt", count=None, sum_="tf")
     df = grouped_count(per, ["term"], alias="df")
-    tf = conform_schema(
-        tf, pa.schema([("source", pa.string()), ("term", pa.string()), ("tf", pa.int64())])
+    joined = merge_join(
+        tf, df, on="term", how="inner",
+        left_schema=pa.schema(
+            [("source", pa.string()), ("term", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
     )
-    df = conform_schema(df, pa.schema([("term", pa.string()), ("df", pa.int64())]))
-    joined = tf.join(df, "inner", 8, on=("term",))
 
     def pick(g):
         import pandas as pd  # noqa: F401

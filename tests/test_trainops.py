@@ -13,6 +13,7 @@ import pytest
 
 import ray.data
 
+from __ray_entry__ import collect_clusters
 from log_parser_ray.stages import dedup as ddp
 from log_parser_ray.stages import similarity as sim
 from log_parser_ray.stages import textops
@@ -159,7 +160,7 @@ def test_quality_stats_values(ray_session):
 def test_minhash_clusters(ray_session):
     texts = [BASE, NEAR, FAR, BASE, "the quick brown fox", FAR + " extra words here"]
     ds = docs_ds(texts)
-    out = ddp.minhash_clusters(ds, threshold=0.8)
+    out = collect_clusters(ddp.minhash_clusters_ds(ds, threshold=0.8))
     assert sorted(out.columns) == ["cluster_id", "cluster_size", "doc_id"]
     lab = dict(zip(out["doc_id"], out["cluster_id"]))
     assert lab[0] == lab[3]  # identical docs share a cluster
@@ -182,7 +183,7 @@ def test_dedup_parallelism_invariance(ray_session):
             ddp.jaccard_pairs(ds, 0.8).reset_index(drop=True),
             ddp.minhash_near_dups(ds, 0.8).reset_index(drop=True),
             ddp.exact_dedup(ds).to_pandas().sort_values("fp").reset_index(drop=True),
-            ddp.minhash_clusters(ds, 0.8).reset_index(drop=True),
+            collect_clusters(ddp.minhash_clusters_ds(ds, 0.8)).reset_index(drop=True),
         )
 
     one = at(1)
@@ -239,7 +240,8 @@ def test_curate_pipeline(ray_session, tmp_path):
     out_dir = str(tmp_path / "curated")
     res = curate.run(ds, out_dir, near_threshold=0.8, min_words=12,
                      max_stop_ratio=1.0)
-    disp = dict(zip(res["dispositions"]["doc_id"], res["dispositions"]["disposition"]))
+    ddf = res["dispositions"].to_pandas()
+    disp = dict(zip(ddf["doc_id"], ddf["disposition"]))
     assert disp[0] == "kept"
     assert disp[1] == "exact_dup"
     assert disp[2] == "near_dup"
