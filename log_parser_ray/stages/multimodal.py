@@ -8,11 +8,13 @@ Arrow batch. Batches must be SMALL for large payloads — size
 ``batch_size`` so batch_bytes × concurrency fits the worker heap, and let
 the object store spill the rest.
 
-The image/audio libraries are not installed in this container, so the codec
-call is STUBBED: ``DecodeFeatures`` tries to import PIL and otherwise falls
-back to a deterministic fake decode (md5-seeded feature vector). The Ray-side
-plumbing — schema, actor signature, batch sizing, fixed-size-list output — is
-real and tested; swapping in a real decoder changes only ``_decode_one``.
+Codec policy: ``DecodeFeatures`` and ``Resize`` carry a REAL Pillow path —
+``image/*`` payloads are decoded/resampled with PIL when it is importable —
+and a deterministic fake otherwise (md5-seeded feature vector / byte
+striding) for non-image mimes, undecodable payloads, or a container without
+pillow (this one). The Ray-side plumbing — schema, actor signature, batch
+sizing, fixed-size-list output — is identical on both paths, and the real
+path's wiring is pinned by tests that inject a stub decoder module.
 """
 
 from __future__ import annotations
@@ -68,18 +70,16 @@ class DecodeFeatures:
     """
 
     def __init__(self):
-        try:  # real decoder would load here, once per actor
-            from PIL import Image  # noqa: F401
+        # codec loads once per actor; self._image is the PIL.Image MODULE
+        # (or None without pillow) so tests can inject a stub decoder
+        try:
+            from PIL import Image
 
-            self._real = True
+            self._image = Image
         except ImportError:
-            self._real = False
+            self._image = None
 
-    def _decode_one(self, payload: bytes) -> np.ndarray:
-        if self._real:  # pragma: no cover - PIL absent in this container
-            raise NotImplementedError(
-                "real image decode not wired in this environment"
-            )
+    def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic fake: md5-seeded pseudo-features, unit-normalized
         h = hashlib.md5(payload).digest()
         seed = int.from_bytes(h[:4], "little")
@@ -87,8 +87,30 @@ class DecodeFeatures:
         v = rs.standard_normal(FEATURE_DIM).astype(np.float32)
         return v / np.linalg.norm(v)
 
+    def _decode_one(self, payload: bytes, mime: str) -> np.ndarray:
+        if self._image is not None and mime.startswith("image/"):
+            try:
+                import io
+
+                img = self._image.open(io.BytesIO(payload))
+                # grayscale 4×4 thumbnail = FEATURE_DIM raw pixel features,
+                # unit-normalized (deterministic; no model dependency)
+                side = int(FEATURE_DIM ** 0.5)
+                img = img.convert("L").resize((side, side))
+                v = np.asarray(img, dtype=np.float32).reshape(-1)[:FEATURE_DIM]
+                n = float(np.linalg.norm(v))
+                return v / n if n > 0 else v
+            except Exception:
+                pass  # undecodable payload → deterministic fake below
+        return self._fake_features(payload)
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = np.stack([self._decode_one(p) for p in t["payload"].to_pylist()])
+        feats = np.stack(
+            [
+                self._decode_one(p, m)
+                for p, m in zip(t["payload"].to_pylist(), t["mime"].to_pylist())
+            ]
+        )
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), type=pa.float32()), FEATURE_DIM
         )
@@ -117,24 +139,48 @@ def blob_features(
 class Resize:
     """Actor-pool stage: binary payload → resized binary payload + new dims.
 
-    Real plumbing (batch in/out schema, metadata columns, small batch
-    sizing for large payloads); the codec itself is stubbed: the fake
-    "resize" is a deterministic payload reduction to target_bytes =
-    width×height (a real PIL/libvips resample swaps into ``_resize_one``)."""
+    ``image/*`` payloads resample through Pillow (PNG-encoded output) when
+    it is importable; other mimes / undecodable payloads / a pillow-less
+    container use the deterministic fake (payload reduction to
+    width×height bytes). Plumbing — batch in/out schema, metadata columns,
+    small batch sizing for large payloads — is identical on both paths."""
 
     def __init__(self, width: int = 64, height: int = 64):
         self.width = width
         self.height = height
+        try:
+            from PIL import Image
 
-    def _resize_one(self, payload: bytes) -> bytes:
+            self._image = Image
+        except ImportError:
+            self._image = None
+
+    def _fake_resize(self, payload: bytes) -> bytes:
         target = self.width * self.height
         if len(payload) >= target:
             return payload[:target]
         reps = -(-target // max(1, len(payload)))
         return (payload * reps)[:target]
 
+    def _resize_one(self, payload: bytes, mime: str) -> bytes:
+        if self._image is not None and mime.startswith("image/"):
+            try:
+                import io
+
+                img = self._image.open(io.BytesIO(payload))
+                img = img.resize((self.width, self.height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+            except Exception:
+                pass
+        return self._fake_resize(payload)
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = [self._resize_one(p) for p in t["payload"].to_pylist()]
+        out = [
+            self._resize_one(p, m)
+            for p, m in zip(t["payload"].to_pylist(), t["mime"].to_pylist())
+        ]
         return pa.table(
             {
                 "blob_id": t["blob_id"],

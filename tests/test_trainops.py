@@ -204,6 +204,71 @@ def test_embedder_properties(ray_session):
     assert cos(embs[0], embs[2]) > cos(embs[0], embs[3])  # near > far
 
 
+class _StubImg:
+    """Minimal PIL.Image stand-in: 4×4 grayscale ramp after convert/resize."""
+
+    def __init__(self, payload: bytes):
+        if not payload.startswith(b"\x89PNG"):
+            raise ValueError("not an image")
+        self.payload = payload
+
+    def convert(self, mode):
+        assert mode == "L"
+        return self
+
+    def resize(self, wh):
+        self.wh = wh
+        return self
+
+    def save(self, buf, format):
+        buf.write(b"\x89PNG-resized-" + b"%dx%d" % self.wh)
+
+    def __array__(self, dtype=None, copy=None):
+        side = self.wh[0]
+        return np.arange(side * side, dtype=np.float32).reshape(side, side)
+
+
+class _StubImageModule:
+    @staticmethod
+    def open(buf):
+        return _StubImg(buf.read())
+
+
+def test_multimodal_real_codec_path(ray_session):
+    """With a decoder module present, image/* payloads take the REAL
+    decode/resample path; non-image mimes and undecodable payloads fall back
+    to the deterministic fake (the round-2 guard raised when PIL was
+    importable — this pins the fixed wiring via an injected stub codec)."""
+    from log_parser_ray.stages.multimodal import FEATURE_DIM, DecodeFeatures, Resize
+
+    png, txt = b"\x89PNG fake image bytes", b"plain text payload"
+    batch = pa.table(
+        {
+            "blob_id": pa.array([1, 2, 3], pa.int64()),
+            "mime": pa.array(["image/png", "application/x-fake-image", "image/png"]),
+            "payload": pa.array([png, txt, b"corrupt"], pa.binary()),
+            "n_bytes": pa.array([len(png), len(txt), 7], pa.int64()),
+        }
+    )
+    dec = DecodeFeatures()
+    dec._image = _StubImageModule  # inject the stub codec
+    out = dec(batch)
+    feats = np.asarray(out["feature"].combine_chunks().flatten()).reshape(
+        3, FEATURE_DIM
+    )
+    ramp = np.arange(FEATURE_DIM, dtype=np.float32)
+    assert np.allclose(feats[0], ramp / np.linalg.norm(ramp))  # real path
+    fake = dec._fake_features(txt)
+    assert np.allclose(feats[1], fake)  # non-image mime → fake
+    assert np.allclose(feats[2], dec._fake_features(b"corrupt"))  # fallback
+
+    rz = Resize(width=8, height=4)
+    rz._image = _StubImageModule
+    out = rz(batch)
+    assert out["payload"][0].as_py() == b"\x89PNG-resized-8x4"  # real resample
+    assert len(out["payload"][1].as_py()) == 32  # fake: width*height bytes
+
+
 def test_multimodal_resize_and_frames(ray_session):
     from log_parser_ray.stages.multimodal import (
         resize_blobs, sample_frames, synth_blobs,
