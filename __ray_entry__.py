@@ -595,6 +595,14 @@ def q_errorlog_counts(sf_dir: str):
     return grouped_count(q_errorlog_rows(sf_dir), ["srv", "evt_type"], alias="n")
 
 
+def q_errlog_referrer_ranking(sf_dir: str):
+    """K8: (referrer, 'evt : err') counts ranked descending — the
+    reference's errCntByRef report (webErrorLogParser.sh:321,341-347)."""
+    from log_parser_ray.stages.errorlog import referrer_error_ranking
+
+    return referrer_error_ranking(q_errorlog_rows(sf_dir))
+
+
 def q_mpmstats_join(sf_dir: str):
     """M15+M16+J3: mpmstats rdy ⟕ bsy-by-plugin on exact (srv, dtm);
     absent plugin side → 0."""
@@ -615,6 +623,21 @@ def q_mpmstats_argmax(sf_dir: str):
 def q_gc_parsed_rows(sf_dir: str):
     """M17+M18+M19: GC triples, K/M/G→K normalization, diff/pct derivation."""
     return parse_gc_lines(synth_gc_lines(sf_dir))
+
+
+def q_gc_multiline_rows(sf_dir: str):
+    """ST5 for REAL verbose GC: multi-line `{Heap before GC …}` … `}` blocks
+    (-XX:+PrintGCDetails -XX:+PrintHeapAtGC) reassembled per JVM stream and
+    parsed to the reference's .vgc.all row set — minor GCs take old/perm
+    values from the Heap-before/after sections, full GCs from the GC line
+    (javaGCStatsParser.sh:158-283)."""
+    from log_parser_ray.stages.gclog import (
+        parse_gc_invocations,
+        reassemble_gc_blocks,
+        synth_gc_stream,
+    )
+
+    return parse_gc_invocations(reassemble_gc_blocks(synth_gc_stream(sf_dir)))
 
 
 def q_gc_pause_summary(sf_dir: str):
@@ -653,6 +676,31 @@ def q_was_tto_pairs(sf_dir: str):
     """J2/ST6 on the REAL msgIds: WTRN0124I completions joined as-of to the
     most recent prior WTRN0006W declare per (server, thread)."""
     return tto_correlate(q_was_parsed_rows(sf_dir))
+
+
+def q_was_cpu_starvation(sf_dir: str):
+    """A7 on the real format: HMGR0152W count + scheduling-delay sum per
+    server (websphereLogParser.sh:315-323,427-439)."""
+    from log_parser_ray.stages.waslog import cpu_starvation_summary
+
+    return cpu_starvation_summary(q_was_parsed_rows(sf_dir))
+
+
+def q_was_oom_last(sf_dir: str):
+    """AG3 on the real format: last java.lang.OutOfMemoryError per
+    (srv, date) — the reference's arrOOM overwrite-map semantics
+    (websphereLogParser.sh:273-276,325-343)."""
+    from log_parser_ray.stages.waslog import oom_last_event
+
+    return oom_last_event(q_was_parsed_rows(sf_dir))
+
+
+def q_was_recycles(sf_dir: str):
+    """WSVR0001I JVM-recycle routing → RecycleHistoryRpt rows
+    (websphereLogParser.sh:249-253)."""
+    from log_parser_ray.stages.waslog import recycle_events
+
+    return recycle_events(q_was_parsed_rows(sf_dir))
 
 
 def q_gc_threshold_exceeds(sf_dir: str):
@@ -1006,12 +1054,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_sink_pivot": q_hour_sink_pivot,
         "sink_pct": q_sink_pct,
         "grand_totals": q_grand_totals,
-        "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
         # -- sessions / stateful ordered
         "session_durations": q_session_durations,
         "asof_error_tool": q_asof_error_tool,
         "hung_thread_stats": q_hung_thread_stats,
-        "reassembled_sessions": q_reassembled_sessions,
         # -- access-log pack (real format)
         "access_parsed_rows": q_access_parsed_rows,
         "access_hourly_xcl": q_access_hourly_xcl,
@@ -1025,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mpmstats_argmax": q_mpmstats_argmax,
         # -- GC pack (real format)
         "gc_parsed_rows": q_gc_parsed_rows,
+        "gc_multiline_rows": q_gc_multiline_rows,
         "gc_pause_summary": q_gc_pause_summary,
         "gc_threshold_exceeds": q_gc_threshold_exceeds,
         # -- WAS pack (real format)
@@ -1032,11 +1079,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "was_event_counts": q_was_event_counts,
         "was_msgid_counts": q_was_msgid_counts,
         "was_tto_pairs": q_was_tto_pairs,
+        "was_cpu_starvation": q_was_cpu_starvation,
+        "was_oom_last": q_was_oom_last,
+        "was_recycles": q_was_recycles,
         # -- dedup / similarity family
         "exact_dedup": q_exact_dedup,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_clusters": q_minhash_clusters,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_near_dups": q_cosine_near_dups,
         "knn_cosine": q_knn_cosine,
         "curate_report": q_curate_report,
@@ -1050,8 +1099,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sketches / sampling
         "winnow_overlap": q_winnow_overlap,
         "heavy_hitter_terms": q_heavy_hitter_terms,
-        "stratified_sample": q_stratified_sample,
         # ---- driver window (50) ends here ----
+        "errlog_referrer_ranking": q_errlog_referrer_ranking,
+        "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
+        "reassembled_sessions": q_reassembled_sessions,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "stratified_sample": q_stratified_sample,
         "rt_bucket_counts": q_rt_bucket_counts,
         "topk_error_codes": q_topk_error_codes,
         "category_counts": q_category_counts,
@@ -1287,7 +1340,7 @@ def _pii_oracle_sqls() -> tuple[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     from log_parser_ray.stages.errorlog import ERRLOG_TRUTH_CTE, MPMSTATS_TRUTH_CTE
-    from log_parser_ray.stages.gclog import GC_TRUTH_CTE
+    from log_parser_ray.stages.gclog import GC_MULTI_TRUTH_CTE, GC_TRUTH_CTE
     from log_parser_ray.stages.waslog import WAS_TRUTH_CTE
 
     P = _SQL_PREFIX
@@ -1295,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
     E = "WITH " + ERRLOG_TRUTH_CTE + "\n"
     M = "WITH " + MPMSTATS_TRUTH_CTE + "\n"
     G = "WITH " + GC_TRUTH_CTE + "\n"
+    GM = "WITH " + GC_MULTI_TRUTH_CTE + "\n"
     W = "WITH " + WAS_TRUTH_CTE + "\n"
     th = THRESHOLDS["conv.errCntTh"]
     pivot_cols = ", ".join(
@@ -1561,12 +1615,16 @@ def oracle_sql() -> dict[str, str]:
         "errorlog_rows": E + "SELECT * FROM errlog_truth",
         "errorlog_counts": E
         + "SELECT srv, evt_type, COUNT(*) AS n FROM errlog_truth GROUP BY srv, evt_type",
+        "errlog_referrer_ranking": E
+        + """SELECT referrer, evt_type || ' : ' || err AS err_det, COUNT(*) AS n
+             FROM errlog_truth GROUP BY referrer, evt_type || ' : ' || err""",
         "mpmstats_join": M + "SELECT * FROM mpm_truth",
         "mpmstats_argmax": M
         + """SELECT srv, line_id, dtm, rdy, bsy, was_bsy, wbg_bsy FROM mpm_truth
              QUALIFY row_number() OVER (PARTITION BY srv
                                         ORDER BY bsy DESC, line_id) = 1""",
         "gc_parsed_rows": G + "SELECT * FROM gc_truth",
+        "gc_multiline_rows": GM + "SELECT * FROM gc_multi_truth",
         "gc_pause_summary": G
         + """SELECT jvm, gc_type, COUNT(pause_us) AS n,
                     CAST(SUM(pause_us) AS BIGINT) AS sum_pause_us,
@@ -1596,6 +1654,19 @@ def oracle_sql() -> dict[str, str]:
                WINDOW w AS (PARTITION BY srv, thread ORDER BY line_id
                             ROWS UNBOUNDED PRECEDING)
              ) WHERE msg_id = 'WTRN0124I'""",
+        "was_cpu_starvation": W
+        + """SELECT srv, COUNT(*) AS n,
+                    CAST(SUM(line_id % 10 + 2) AS BIGINT) AS total_delay_s
+             FROM was_truth WHERE msg_id = 'HMGR0152W' GROUP BY srv""",
+        "was_oom_last": W
+        + """SELECT srv, split_part(dtm, ' ', 1) AS dt, line_id, dtm, thread,
+                    component, msg
+             FROM was_truth WHERE msg LIKE '%java.lang.OutOfMemoryError%'
+             QUALIFY row_number() OVER (PARTITION BY srv, split_part(dtm, ' ', 1)
+                                        ORDER BY line_id DESC) = 1""",
+        "was_recycles": W
+        + """SELECT line_id, split_part(dtm, ' ', 1) AS dt, dtm, srv
+             FROM was_truth WHERE msg_id = 'WSVR0001I'""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "winnow_fingerprints": sketch.winnow_oracle_sql(),
         "winnow_overlap": sketch.winnow_overlap_oracle_sql(min_shared=3),

@@ -84,14 +84,34 @@ def run(log_dir: str, out_dir: str) -> dict:
         record("access", int(res["hourly"]["irc"].sum()), t0)
 
     if _has_files(log_dir, FAMILIES["error"]):
+        from log_parser_ray.stages.aggregate import argmax_by
+        from log_parser_ray.stages.errorlog import referrer_error_ranking
+
         t0 = time.perf_counter()
         lines = lines_for(FAMILIES["error"])
-        errs = parse_error_lines(lines)
+        errs = parse_error_lines(lines).materialize()
         errs.write_parquet(os.path.join(out_dir, "error", "rows"))
-        mpm = parse_mpmstats(lines)
+        mpm = parse_mpmstats(lines).materialize()
         mpm.write_parquet(os.path.join(out_dir, "error", "mpmstats"))
-        n = ray.data.read_parquet(os.path.join(out_dir, "error", "rows")).count()
-        record("error", int(n), t0)
+        # report edges (small aggregates): the reference's errCntByRef
+        # ranking (webErrorLogParser.sh:341-347) and the per-server max-bsy
+        # mpmstats record that feeds WebErrorLogMpmStatsRpt_all.csv
+        # (:361-379) — both rendered from the already-parsed Datasets
+        referrer_error_ranking(errs).to_pandas().to_csv(
+            os.path.join(out_dir, "error", "errCntByRef.csv"), index=False
+        )
+        mx = argmax_by(
+            mpm.select_columns(
+                ["srv", "line_id", "dtm", "rdy", "bsy", "rd", "wr", "ka",
+                 "log", "dns", "cls", "was_bsy", "wbg_bsy"]
+            ),
+            ["srv"], ["bsy", "line_id"], [True, False],
+        ).to_pandas().sort_values("srv")
+        mx.to_csv(
+            os.path.join(out_dir, "error", "WebErrorLogMpmStatsRpt_all.csv"),
+            index=False,
+        )
+        record("error", int(errs.count()), t0)
 
     if _has_files(log_dir, FAMILIES["was"]):
         t0 = time.perf_counter()
@@ -101,9 +121,21 @@ def run(log_dir: str, out_dir: str) -> dict:
         record("was", int(parsed.count()), t0)
 
     if _has_files(log_dir, FAMILIES["gc"]):
+        from log_parser_ray.stages.gclog import (
+            parse_gc_invocations,
+            reassemble_gc_blocks,
+        )
+
         t0 = time.perf_counter()
-        gc = parse_gc_lines(lines_for(FAMILIES["gc"])).materialize()
+        raw = lines_for(FAMILIES["gc"]).materialize()
+        # single-line `[GC [...] ...]` records AND real multi-line
+        # `{Heap before GC …}` … `}` invocation blocks (PrintHeapAtGC)
+        gc = parse_gc_lines(raw).materialize()
         gc.write_parquet(os.path.join(out_dir, "gc", "rows"))
-        record("gc", int(gc.count()), t0)
+        inv = parse_gc_invocations(reassemble_gc_blocks(raw)).materialize()
+        n_inv = int(inv.count())
+        if n_inv:
+            inv.write_parquet(os.path.join(out_dir, "gc", "invocations"))
+        record("gc", int(gc.count()) + n_inv, t0)
 
     return results

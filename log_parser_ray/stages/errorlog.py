@@ -132,6 +132,31 @@ def parse_error_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def referrer_error_ranking(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """K8: error count per (referrer, 'evtType : err') detail, ranked
+    descending — the reference's errCntByRef accumulator
+    (webErrorLogParser.sh:321,341-347). Two-phase grouped count; the final
+    sort ranges over the (small) aggregate only."""
+    from log_parser_ray.stages.aggregate import grouped_count
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "referrer": t["referrer"],
+                "err_det": pc.binary_join_element_wise(
+                    t["evt_type"], t["err"], " : "
+                ),
+            }
+        )
+
+    counts = grouped_count(
+        parsed.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["referrer", "err_det"],
+        alias="n",
+    )
+    return counts.sort(["n", "referrer", "err_det"], descending=[True, False, False])
+
+
 def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """M15+M16+J3: rdy lines ⟕ bsy-by-plugin lines on exact (srv, dtm).
 

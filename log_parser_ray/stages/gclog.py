@@ -128,6 +128,300 @@ def synth_gc_lines(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL multi-line HotSpot grammar: -XX:+PrintGCDetails -XX:+PrintHeapAtGC
+# (javaGCStatsParser.sh:158-283 — the reference's one true multi-line record:
+# `{Heap before GC invocations=…` … `}` with carry-over state between lines).
+#
+# Ray shape: per-file line streams reassemble into one PAYLOAD STRING per
+# invocation block (ordered per-conversation scan, sessions._per_conv_blocks
+# machinery), then every field extracts from the payload column with
+# vectorized RE2 kernels — the awk state machine becomes a handful of
+# anchored multi-line regexes over whole blocks. Minor-GC old/perm
+# before/after values come from the Heap-before / Heap-after sections, full
+# GCs carry all segments on the GC line itself, exactly the awk's
+# _xtractOldPermBVals / _xtractOldPermAVals phase flags. Values in real
+# PrintHeapAtGC streams are K-suffixed; unit normalization for the
+# single-line K/B/M/G variants lives in `_to_kb` above.
+
+GC_BLOCK_BEGIN = "{Heap before GC invocations="
+GC_BLOCK_END = "}"
+
+_B_OLD_RE = r"(?s)\{Heap before.*?ParOldGen\s+total \d+K, used (?P<ob>\d+)K"
+_B_PERM_RE = r"(?s)\{Heap before.*?PSPermGen\s+total \d+K, used (?P<pb>\d+)K"
+_A_OLD_RE = r"(?s)Heap after.*?ParOldGen\s+total (?P<ot>\d+)K, used (?P<oa>\d+)K"
+_A_PERM_RE = r"(?s)Heap after.*?PSPermGen\s+total (?P<pt>\d+)K, used (?P<pa>\d+)K"
+_INVOC_RE = r"Heap after GC invocations=(?P<all>\d+) \(full (?P<full>\d+)\)"
+_GCLINE_RE = (
+    r"(?P<dt>\d{4}-\d{2}-\d{2})T(?P<tm>[\d:.]+)(?P<tz>[+-]\d{4}): "
+    r"\[(?P<typ>Full GC \(System\)|Full GC|GC)[ -]"
+)
+_YOUNG_RE = r"\[PSYoungGen: (?P<yb>\d+)K->(?P<ya>\d+)K\((?P<yt>\d+)K\)\]"
+_F_OLD_RE = r"\[ParOldGen: (?P<ob>\d+)K->(?P<oa>\d+)K\((?P<ot>\d+)K\)\]"
+_F_PERM_RE = r"\[PSPermGen: (?P<pb>\d+)K->(?P<pa>\d+)K\((?P<pt>\d+)K\)\]"
+_HEAP_RE = r"\)\] (?P<hb>\d+)K->(?P<ha>\d+)K\((?P<ht>\d+)K\)"
+_SECS_RE = r", (?P<secs>\d+\.\d+) secs\]"
+_TIMES_RE = (
+    r"\[Times: user=(?P<usr>\d+\.\d+) sys=(?P<sy>\d+\.\d+), "
+    r"real=(?P<real>\d+\.\d+) (?P<runit>\w+)\]"
+)
+
+
+def reassemble_gc_blocks(lines: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(conv_id, turn_idx, text) line stream → one row per GC invocation
+    block: (conv_id, start_turn, payload). A block runs from `{Heap before
+    GC invocations=` to the next `}` line within one conversation (= one
+    file/JVM); unterminated trailing blocks are dropped, mirroring the
+    reference's per-file last-record handling."""
+    import pandas as pd
+
+    from log_parser_ray.stages.sessions import _per_conv_blocks
+
+    keep = lines.select_columns(["conv_id", "turn_idx", "text"])
+
+    def assemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        rows = []
+        cur_conv = None
+        started, cur_start, cur_lines = False, None, []
+        for conv, turn, text in zip(
+            g["conv_id"].to_numpy(), g["turn_idx"].to_numpy(), g["text"].to_numpy()
+        ):
+            if conv != cur_conv:
+                cur_conv, started = conv, False
+            t = text or ""
+            if t.startswith(GC_BLOCK_BEGIN):
+                started, cur_start, cur_lines = True, turn, [t]
+            elif started:
+                cur_lines.append(t)
+                if t.startswith(GC_BLOCK_END):
+                    rows.append(
+                        {
+                            "conv_id": conv,
+                            "start_turn": int(cur_start),
+                            "payload": "\n".join(cur_lines),
+                        }
+                    )
+                    started, cur_start, cur_lines = False, None, []
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "start_turn": pd.Series([], dtype="int64"),
+                    "payload": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _per_conv_blocks(keep, assemble)
+
+
+def parse_gc_invocations(blocks: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Reassembled invocation blocks → one row per GC with the reference's
+    .vgc.all column set (javaGCStatsParser.sh:151): per-generation
+    before/after/diff/total/pct in K, times in µs, GC counters. gc_type uses
+    the reference's names (GC / FULLGC / FULLGC_SYS)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        pl = t["payload"]
+        gl = pc.extract_regex(pl, _GCLINE_RE)
+        sub = t.filter(pc.is_valid(gl))
+        pl = sub["payload"]
+        gl = pc.extract_regex(pl, _GCLINE_RE)
+
+        def f(m, n):
+            return pc.struct_field(m, n)
+
+        def fi(m, n):
+            return pc.cast(pc.struct_field(m, n), pa.int64())
+
+        young = pc.extract_regex(pl, _YOUNG_RE)
+        heap = pc.extract_regex(pl, _HEAP_RE)
+        invoc = pc.extract_regex(pl, _INVOC_RE)
+        times = pc.extract_regex(pl, _TIMES_RE)
+        typ_raw = f(gl, "typ")
+        is_minor = pc.equal(typ_raw, "GC")
+        # minor GC: old/perm from the Heap-before / Heap-after sections;
+        # full GC: all segments on the GC line (awk phase-flag semantics)
+        b_old, b_perm = pc.extract_regex(pl, _B_OLD_RE), pc.extract_regex(pl, _B_PERM_RE)
+        a_old, a_perm = pc.extract_regex(pl, _A_OLD_RE), pc.extract_regex(pl, _A_PERM_RE)
+        f_old, f_perm = pc.extract_regex(pl, _F_OLD_RE), pc.extract_regex(pl, _F_PERM_RE)
+        ob = pc.if_else(is_minor, fi(b_old, "ob"), fi(f_old, "ob"))
+        oa = pc.if_else(is_minor, fi(a_old, "oa"), fi(f_old, "oa"))
+        ot = pc.if_else(is_minor, fi(a_old, "ot"), fi(f_old, "ot"))
+        pb = pc.if_else(is_minor, fi(b_perm, "pb"), fi(f_perm, "pb"))
+        pa_ = pc.if_else(is_minor, fi(a_perm, "pa"), fi(f_perm, "pa"))
+        pt = pc.if_else(is_minor, fi(a_perm, "pt"), fi(f_perm, "pt"))
+        gc_type = pc.if_else(
+            is_minor,
+            pa.scalar("GC"),
+            pc.if_else(pc.equal(typ_raw, "Full GC"),
+                       pa.scalar("FULLGC"), pa.scalar("FULLGC_SYS")),
+        )
+
+        def pct(a, tot):
+            return pc.round(
+                pc.multiply(pc.divide(pc.cast(a, pa.float64()),
+                                      pc.cast(tot, pa.float64())), 100.0),
+                ndigits=4,
+            )
+
+        def to_us(m, n):
+            return pc.cast(
+                pc.round(pc.multiply(pc.cast(f(m, n), pa.float64()), 1e6)),
+                pa.int64(),
+            )
+
+        yb, ya, yt = fi(young, "yb"), fi(young, "ya"), fi(young, "yt")
+        hb, ha, ht = fi(heap, "hb"), fi(heap, "ha"), fi(heap, "ht")
+        all_gcs, fgcs = fi(invoc, "all"), fi(invoc, "full")
+        # jvm = conversation (file) name, minus any synth shard suffix
+        jvm = pc.list_element(pc.split_pattern(sub["conv_id"], "@"), 0)
+        return pa.table(
+            {
+                "jvm": jvm,
+                "gc_type": gc_type,
+                "dt": f(gl, "dt"), "tm": f(gl, "tm"), "tz": f(gl, "tz"),
+                "hour": pc.cast(pc.utf8_slice_codeunits(f(gl, "tm"), 0, 2), pa.int32()),
+                "yng_before_k": yb, "yng_after_k": ya,
+                "yng_diff_k": pc.subtract(yb, ya), "yng_total_k": yt,
+                "yng_pct": pct(ya, yt),
+                "old_before_k": ob, "old_after_k": oa,
+                "old_diff_k": pc.subtract(ob, oa), "old_total_k": ot,
+                "old_pct": pct(oa, ot),
+                "perm_before_k": pb, "perm_after_k": pa_,
+                "perm_diff_k": pc.subtract(pb, pa_), "perm_total_k": pt,
+                "perm_pct": pct(pa_, pt),
+                "heap_before_k": hb, "heap_after_k": ha,
+                "heap_diff_k": pc.subtract(hb, ha), "heap_total_k": ht,
+                "heap_pct": pct(ha, ht),
+                # RealTime = the Times segment's real value (awk _rlTm,
+                # javaGCStatsParser.sh:343-356), not the GC-line pause
+                "user_us": to_us(times, "usr"), "sys_us": to_us(times, "sy"),
+                "real_us": to_us(times, "real"), "runit": f(times, "runit"),
+                "gcs": pc.subtract(all_gcs, fgcs), "fgcs": fgcs,
+                "all_gcs": all_gcs,
+            }
+        )
+
+    return blocks.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _compose_stream(batch: pa.Table) -> pa.Table:
+    """events rows → multi-line verbose-GC blocks (12-13 line rows per
+    event). Deterministic twin of GC_MULTI_TRUTH_CTE."""
+    eids = batch["event_id"].to_numpy()
+    uidn = batch["user_id"].to_numpy()
+    convs, turns, texts = [], [], []
+    for eid, u in zip(eids, uidn):
+        eid = int(eid)
+        jvm = f"jvm{int(u) % 4}"
+        conv = f"{jvm}@{eid % 256}"
+        allg, fullg = eid + 10, eid % 7
+        yb, ya, yt = eid % 10000 + 16, eid % 3000 + 8, 16384
+        ob, oa, ot = eid % 8000 + 32, eid % 2000 + 16, 32768
+        pb, pa_, pt = eid % 500 + 64, eid % 400 + 32, 4096
+        hb, ha, ht = yb + ob, ya + oa, 49152
+        hour = eid % 24
+        stamp = f"2023-11-01T{hour:02d}:00:00.000-0500"
+        secs = f"0.{eid % 10_000_000:07d}"
+        usr, sy = f"{(eid % 90 + 10) / 100:.2f}", f"0.0{eid % 9}"
+        times = f"[Times: user={usr} sys={sy}, real={secs} secs]"
+        full, sysgc = eid % 5 == 0, eid % 10 == 0
+        block = [
+            f"{{Heap before GC invocations={allg} (full {fullg}):",
+            f" PSYoungGen      total {yt}K, used {yb}K [0x0,0x0)",
+            f" ParOldGen       total {ot}K, used {ob}K [0x0,0x0)",
+            f" PSPermGen       total {pt}K, used {pb}K [0x0,0x0)",
+        ]
+        if full:
+            label = "Full GC (System)" if sysgc else "Full GC"
+            block.append(
+                f"{stamp}: [{label} [PSYoungGen: {yb}K->{ya}K({yt}K)] "
+                f"[ParOldGen: {ob}K->{oa}K({ot}K)] {hb}K->{ha}K({ht}K) "
+                f"[PSPermGen: {pb}K->{pa_}K({pt}K)], {secs} secs] {times}"
+            )
+        else:
+            block.append(
+                f"{stamp}: [GC [PSYoungGen: {yb}K->{ya}K({yt}K)] "
+                f"{hb}K->{ha}K({ht}K), {secs} secs] {times}"
+            )
+        block += [
+            f"Heap after GC invocations={allg} (full {fullg}):",
+            f" PSYoungGen      total {yt}K, used {ya}K [0x0,0x0)",
+            f" ParOldGen       total {ot}K, used {oa}K [0x0,0x0)",
+            f" PSPermGen       total {pt}K, used {pa_}K [0x0,0x0)",
+            "}",
+        ]
+        base = eid * 16
+        for i, ln in enumerate(block):
+            convs.append(conv)
+            turns.append(base + i)
+            texts.append(ln)
+    return pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(turns, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def synth_gc_stream(sf_dir: str) -> "ray.data.Dataset":
+    """events.parquet → multi-line verbose-GC (conv_id, turn_idx, text)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return ds.map_batches(
+        _compose_stream, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32768,
+    )
+
+
+GC_MULTI_TRUTH_CTE = """
+gc_multi_truth AS (
+  SELECT
+    'jvm' || CAST(user_id % 4 AS VARCHAR) AS jvm,
+    CASE WHEN event_id % 10 = 0 THEN 'FULLGC_SYS'
+         WHEN event_id % 5 = 0 THEN 'FULLGC' ELSE 'GC' END AS gc_type,
+    '2023-11-01' AS dt,
+    lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') || ':00:00.000' AS tm,
+    '-0500' AS tz,
+    CAST(event_id % 24 AS INTEGER) AS hour,
+    CAST(event_id % 10000 + 16 AS BIGINT) AS yng_before_k,
+    CAST(event_id % 3000 + 8 AS BIGINT) AS yng_after_k,
+    CAST((event_id % 10000 + 16) - (event_id % 3000 + 8) AS BIGINT) AS yng_diff_k,
+    CAST(16384 AS BIGINT) AS yng_total_k,
+    round_even((event_id % 3000 + 8) * 100.0 / 16384, 4) AS yng_pct,
+    CAST(event_id % 8000 + 32 AS BIGINT) AS old_before_k,
+    CAST(event_id % 2000 + 16 AS BIGINT) AS old_after_k,
+    CAST((event_id % 8000 + 32) - (event_id % 2000 + 16) AS BIGINT) AS old_diff_k,
+    CAST(32768 AS BIGINT) AS old_total_k,
+    round_even((event_id % 2000 + 16) * 100.0 / 32768, 4) AS old_pct,
+    CAST(event_id % 500 + 64 AS BIGINT) AS perm_before_k,
+    CAST(event_id % 400 + 32 AS BIGINT) AS perm_after_k,
+    CAST((event_id % 500 + 64) - (event_id % 400 + 32) AS BIGINT) AS perm_diff_k,
+    CAST(4096 AS BIGINT) AS perm_total_k,
+    round_even((event_id % 400 + 32) * 100.0 / 4096, 4) AS perm_pct,
+    CAST((event_id % 10000 + 16) + (event_id % 8000 + 32) AS BIGINT) AS heap_before_k,
+    CAST((event_id % 3000 + 8) + (event_id % 2000 + 16) AS BIGINT) AS heap_after_k,
+    CAST(((event_id % 10000 + 16) + (event_id % 8000 + 32))
+         - ((event_id % 3000 + 8) + (event_id % 2000 + 16)) AS BIGINT) AS heap_diff_k,
+    CAST(49152 AS BIGINT) AS heap_total_k,
+    round_even(((event_id % 3000 + 8) + (event_id % 2000 + 16)) * 100.0 / 49152, 4) AS heap_pct,
+    CAST(round_even(CAST((event_id % 90 + 10) AS DOUBLE) / 100 * 1000000, 0) AS BIGINT) AS user_us,
+    CAST(round_even(CAST(event_id % 9 AS DOUBLE) / 100 * 1000000, 0) AS BIGINT) AS sys_us,
+    CAST(round_even(CAST('0.' || lpad(CAST(event_id % 10000000 AS VARCHAR), 7, '0')
+                         AS DOUBLE) * 1000000, 0) AS BIGINT) AS real_us,
+    'secs' AS runit,
+    CAST((event_id + 10) - (event_id % 7) AS BIGINT) AS gcs,
+    CAST(event_id % 7 AS BIGINT) AS fgcs,
+    CAST(event_id + 10 AS BIGINT) AS all_gcs
+  FROM events
+)
+""".strip()
+
+
 GC_TRUTH_CTE = """
 gc_truth AS (
   SELECT

@@ -19,12 +19,16 @@ Synthesis grammar per event (eid = event_id, uidn = user_id):
                                     path — IO3; embedded as a line prefix
                                     like the error-log pack)
   thread  zero-padded hex of uidn%16
-  eid%6: 0 → `SRVE0068E: Uncaught exception in servlet p<eid%20>`   (E)
+  eid%8: 0 → `SRVE0068E: Uncaught exception in servlet p<eid%20>`   (E)
          1 → `WSVR0605W: Thread "<eid%50>" may be hung`             (W)
          2 → `WTRN0006W: Transaction T<eid> timed out after <eid%120+1> seconds` (W)
          3 → `WTRN0124I: Transaction completed`                     (I)
          4 → `WSVR0001I: Server open for e-business`                (I)
          5 → `SECJ0064A: Authn audit`                               (A)
+         6 → `HMGR0152W: CPU Starvation detected. Current thread
+              scheduling delay is <eid%10+2> seconds.`              (W)
+         7 → `SRVE0068E: Uncaught exception java.lang.OutOfMemoryError:
+              Java heap space in servlet p<eid%20>`                 (E)
 """
 
 from __future__ import annotations
@@ -117,6 +121,72 @@ def tto_correlate(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return group_safe_map(keep, ["srv", "thread"], fn, batch_format="pandas")
 
 
+CPU_STARV_RE = r"HMGR0152W: CPU Starvation detected.*delay is (?P<d>\d+) seconds"
+OOM_RE = r"java\.lang\.OutOfMemoryError"
+
+
+def cpu_starvation_summary(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """A7 for the real format: per server, COUNT of HMGR0152W CPU-starvation
+    notifications + SUM of their scheduling delays (the reference's
+    arrCPUStarvCnt/arrCPUStarvDly accumulators and .cpu.summary row,
+    websphereLogParser.sh:315-323,427-439)."""
+    from log_parser_ray.stages.aggregate import grouped_stats
+
+    def extract(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["msg_id"], "HMGR0152W"))
+        d = pc.struct_field(pc.extract_regex(sub["msg"], CPU_STARV_RE), "d")
+        return pa.table(
+            {"srv": sub["srv"], "delay_s": pc.cast(d, pa.int64())}
+        )
+
+    rows = parsed.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_stats(rows, ["srv"], "delay_s", count="n", sum_="total_delay_s")
+
+
+def oom_last_event(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """AG3 for the real format: the LAST OutOfMemoryError per (srv, date) —
+    the reference's arrOOM[pName|dt] map, which each new OOM line
+    overwrites, so file order decides (websphereLogParser.sh:273-276,
+    325-343). Last = max line_id within the (srv, date) group."""
+    from log_parser_ray.stages.aggregate import argmax_by
+
+    def extract(t: pa.Table) -> pa.Table:
+        sub = t.filter(
+            pc.is_valid(pc.extract_regex(t["msg"], OOM_RE))
+        )
+        dt = pc.list_element(pc.split_pattern(sub["dtm"], " "), 0)
+        return pa.table(
+            {
+                "srv": sub["srv"],
+                "dt": dt,
+                "line_id": sub["line_id"],
+                "dtm": sub["dtm"],
+                "thread": sub["thread"],
+                "component": sub["component"],
+                "msg": sub["msg"],
+            }
+        )
+
+    rows = parsed.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return argmax_by(rows, ["srv", "dt"], ["line_id"], [True])
+
+
+def recycle_events(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """WSVR0001I server-start routing — the reference's JVM-recycle
+    detection that feeds the alert file and RecycleHistoryRpt_all.csv
+    (date|srv rows, websphereLogParser.sh:249-253)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["msg_id"], "WSVR0001I"))
+        dt = pc.list_element(pc.split_pattern(sub["dtm"], " "), 0)
+        return pa.table(
+            {"line_id": sub["line_id"], "dt": dt, "dtm": sub["dtm"],
+             "srv": sub["srv"]}
+        )
+
+    return parsed.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _compose(batch: pa.Table) -> pa.Table:
     eid = batch["event_id"].to_numpy()
     uidn = batch["user_id"].to_numpy()
@@ -124,18 +194,17 @@ def _compose(batch: pa.Table) -> pa.Table:
     dtm = pc.strftime(ts_s, format="%m/%d/%y %H:%M:%S").to_numpy(zero_copy_only=False)
     srv = np.char.add("was", (uidn % 4).astype(str))
     thread = np.array([f"{u % 16:08x}" for u in uidn], dtype=object)
-    kinds = eid % 6
+    kinds = eid % 8
+    sel = [kinds == k for k in range(7)]
     comp = np.select(
-        [kinds == 0, kinds == 1, kinds == 2, kinds == 3, kinds == 4],
-        ["ServletWrappe", "ThreadMonitor", "TimeoutManage", "TimeoutManage", "WsServerImpl"],
-        default="SecurityAudit",
+        sel,
+        ["ServletWrappe", "ThreadMonitor", "TimeoutManage", "TimeoutManage",
+         "WsServerImpl", "SecurityAudit", "CoordinatorCo"],
+        default="ServletWrappe",
     )
-    evt = np.select(
-        [kinds == 0, kinds == 1, kinds == 2, kinds == 3, kinds == 4],
-        ["E", "W", "W", "I", "I"], default="A",
-    )
+    evt = np.select(sel, ["E", "W", "W", "I", "I", "A", "W"], default="E")
     msg = np.select(
-        [kinds == 0, kinds == 1, kinds == 2, kinds == 3, kinds == 4],
+        sel,
         [
             np.char.add(
                 np.char.add("SRVE0068E: Uncaught exception in servlet p",
@@ -154,8 +223,24 @@ def _compose(batch: pa.Table) -> pa.Table:
             ),
             "WTRN0124I: Transaction completed",
             "WSVR0001I: Server open for e-business",
+            "SECJ0064A: Authn audit",
+            np.char.add(
+                np.char.add(
+                    "HMGR0152W: CPU Starvation detected. Current thread "
+                    "scheduling delay is ",
+                    (eid % 10 + 2).astype(str),
+                ),
+                " seconds.",
+            ),
         ],
-        default="SECJ0064A: Authn audit",
+        default=np.char.add(
+            np.char.add(
+                "SRVE0068E: Uncaught exception java.lang.OutOfMemoryError: "
+                "Java heap space in servlet p",
+                (eid % 20).astype(str),
+            ),
+            "",
+        ),
     )
     lines = [
         f"{s} [{d}:000 UTC] {th} {c} {e} {m}"
@@ -184,24 +269,31 @@ was_truth AS (
     'was' || CAST(user_id % 4 AS VARCHAR) AS srv,
     strftime(ts, '%m/%d/%y %H:%M:%S') || ':000 UTC' AS dtm,
     printf('%08x', user_id % 16) AS thread,
-    CASE event_id % 6 WHEN 0 THEN 'ServletWrappe' WHEN 1 THEN 'ThreadMonitor'
+    CASE event_id % 8 WHEN 0 THEN 'ServletWrappe' WHEN 1 THEN 'ThreadMonitor'
          WHEN 2 THEN 'TimeoutManage' WHEN 3 THEN 'TimeoutManage'
-         WHEN 4 THEN 'WsServerImpl' ELSE 'SecurityAudit' END AS component,
-    CASE event_id % 6 WHEN 0 THEN 'E' WHEN 1 THEN 'W' WHEN 2 THEN 'W'
-         WHEN 3 THEN 'I' WHEN 4 THEN 'I' ELSE 'A' END AS evt_type,
-    CASE event_id % 6 WHEN 0 THEN 'SRVE0068E' WHEN 1 THEN 'WSVR0605W'
+         WHEN 4 THEN 'WsServerImpl' WHEN 5 THEN 'SecurityAudit'
+         WHEN 6 THEN 'CoordinatorCo' ELSE 'ServletWrappe' END AS component,
+    CASE event_id % 8 WHEN 0 THEN 'E' WHEN 1 THEN 'W' WHEN 2 THEN 'W'
+         WHEN 3 THEN 'I' WHEN 4 THEN 'I' WHEN 5 THEN 'A'
+         WHEN 6 THEN 'W' ELSE 'E' END AS evt_type,
+    CASE event_id % 8 WHEN 0 THEN 'SRVE0068E' WHEN 1 THEN 'WSVR0605W'
          WHEN 2 THEN 'WTRN0006W' WHEN 3 THEN 'WTRN0124I'
-         WHEN 4 THEN 'WSVR0001I' ELSE 'SECJ0064A' END AS msg_id,
-    CASE event_id % 6
+         WHEN 4 THEN 'WSVR0001I' WHEN 5 THEN 'SECJ0064A'
+         WHEN 6 THEN 'HMGR0152W' ELSE 'SRVE0068E' END AS msg_id,
+    CASE event_id % 8
       WHEN 0 THEN 'SRVE0068E: Uncaught exception in servlet p' || CAST(event_id % 20 AS VARCHAR)
       WHEN 1 THEN 'WSVR0605W: Thread "' || CAST(event_id % 50 AS VARCHAR) || '" may be hung'
       WHEN 2 THEN 'WTRN0006W: Transaction T' || CAST(event_id AS VARCHAR)
                   || ' timed out after ' || CAST(event_id % 120 + 1 AS VARCHAR) || ' seconds'
       WHEN 3 THEN 'WTRN0124I: Transaction completed'
       WHEN 4 THEN 'WSVR0001I: Server open for e-business'
-      ELSE 'SECJ0064A: Authn audit' END AS msg,
-    CASE WHEN event_id % 6 IN (0, 1, 2) THEN TRUE
-         WHEN event_id % 6 IN (3, 4) THEN TRUE  -- named msgIds
+      WHEN 5 THEN 'SECJ0064A: Authn audit'
+      WHEN 6 THEN 'HMGR0152W: CPU Starvation detected. Current thread scheduling delay is '
+                  || CAST(event_id % 10 + 2 AS VARCHAR) || ' seconds.'
+      ELSE 'SRVE0068E: Uncaught exception java.lang.OutOfMemoryError: Java heap space in servlet p'
+           || CAST(event_id % 20 AS VARCHAR) END AS msg,
+    CASE WHEN event_id % 8 IN (0, 1, 2, 6, 7) THEN TRUE  -- W/E/F
+         WHEN event_id % 8 IN (3, 4) THEN TRUE           -- named msgIds
          ELSE FALSE END AS is_severe
   FROM events
 )

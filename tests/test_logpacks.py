@@ -323,13 +323,23 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     ]:
         df = synth(sf_dir).to_pandas().sort_values("line_id")
         (logd / name).write_text("\n".join(df["text"]) + "\n")
+    # a second native_stdout with REAL multi-line {Heap before GC…} blocks
+    from log_parser_ray.stages.gclog import synth_gc_stream
+
+    mdf = synth_gc_stream(sf_dir).to_pandas().sort_values("turn_idx")
+    (logd / "native_stdout2.log").write_text("\n".join(mdf["text"]) + "\n")
 
     out = str(tmp_path / "master_out")
     res = master.run(str(logd), out)
     assert set(res) == {"access", "error", "was", "gc"}
-    assert res["gc"] == 1000  # every GC line parses
+    assert res["gc"] == 2000  # 1000 single-line records + 1000 invocations
     assert res["was"] == 1000
     assert res["error"] == 500  # error lines are the eid%2==0 half
+    # error-family report edges: referrer ranking + per-server max-bsy row
+    assert os.path.isfile(os.path.join(out, "error", "errCntByRef.csv"))
+    mpmcsv = os.path.join(out, "error", "WebErrorLogMpmStatsRpt_all.csv")
+    assert len(open(mpmcsv).readlines()) == 5  # header + one row per server
+    assert rd.read_parquet(os.path.join(out, "gc", "invocations")).count() == 1000
     # per-family lineage lines
     lines = []
     for f in glob.glob(os.path.join(out, "_manifest-*.jsonl")):
@@ -472,6 +482,80 @@ def test_gc_parser_roundtrip(ray_session, jvm, full, b, a, t, unit, frac):
     import numpy as np
 
     assert out["pause_us"] == int(np.round(np.float64(f"0.{frac:07d}") * 1e6))
+
+
+def test_gc_multiline_raw_file(ray_session, tmp_path):
+    """REAL multi-line verbose-GC stream (-XX:+PrintGCDetails
+    -XX:+PrintHeapAtGC) from a raw native_stdout file: reassembles the
+    `{Heap before GC …}` … `}` blocks and parses them to the reference's
+    .vgc.all row set (javaGCStatsParser.sh:158-283). Pins: a minor GC takes
+    old/perm values from the Heap-before/after sections, a Full GC from the
+    GC line; the trailing unterminated block is dropped."""
+    from log_parser_ray.sources.rawlogs import read_raw_logs
+    from log_parser_ray.stages.gclog import (
+        parse_gc_invocations,
+        reassemble_gc_blocks,
+    )
+
+    minor = """{Heap before GC invocations=123 (full 4):
+ PSYoungGen      total 2672384K, used 2546048K [0x0,0x0)
+  eden space 2377728K, 100% used [0x0,0x0)
+ ParOldGen       total 5595136K, used 5578700K [0x0,0x0)
+  object space 5595136K, 99% used [0x0,0x0)
+ PSPermGen       total 741376K, used 590847K [0x0,0x0)
+2014-02-13T09:36:54.024-0500: [GC [PSYoungGen: 2546048K->32508K(2672384K)] 4626942K->2113402K(8267520K), 0.1491728 secs] [Times: user=0.34 sys=0.01, real=0.15 secs]
+Heap after GC invocations=123 (full 4):
+ PSYoungGen      total 2672384K, used 32508K [0x0,0x0)
+ ParOldGen       total 5595136K, used 2080894K [0x0,0x0)
+ PSPermGen       total 741376K, used 590105K [0x0,0x0)
+}"""
+    full = """{Heap before GC invocations=124 (full 5):
+ PSYoungGen      total 2672384K, used 40000K [0x0,0x0)
+ ParOldGen       total 5595136K, used 5578700K [0x0,0x0)
+ PSPermGen       total 741376K, used 590847K [0x0,0x0)
+2014-02-13T09:40:00.100-0500: [Full GC (System) [PSYoungGen: 40000K->0K(2672384K)] [ParOldGen: 5578700K->2080894K(5595136K)] 5618700K->2080894K(8267520K) [PSPermGen: 590847K->590105K(741376K)], 3.6775195 secs] [Times: user=27.09 sys=0.03, real=3.68 secs]
+Heap after GC invocations=124 (full 5):
+ PSYoungGen      total 2672384K, used 0K [0x0,0x0)
+ ParOldGen       total 5595136K, used 2080894K [0x0,0x0)
+ PSPermGen       total 741376K, used 590105K [0x0,0x0)
+}
+{Heap before GC invocations=125 (full 5):
+ PSYoungGen      total 2672384K, used 99K [0x0,0x0)"""
+    (tmp_path / "native_stdout.log").write_text(minor + "\n" + full + "\n")
+    out = (
+        parse_gc_invocations(reassemble_gc_blocks(read_raw_logs(str(tmp_path))))
+        .to_pandas()
+        .sort_values("all_gcs")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2  # the unterminated 125th block is dropped
+    m, f = out.iloc[0], out.iloc[1]
+    assert m["jvm"] == "native_stdout" and m["gc_type"] == "GC"
+    assert (m["dt"], m["tm"], m["tz"], m["hour"]) == (
+        "2014-02-13", "09:36:54.024", "-0500", 9)
+    assert (m["yng_before_k"], m["yng_after_k"], m["yng_total_k"]) == (
+        2546048, 32508, 2672384)
+    # minor GC: old/perm before from the Heap-before section, after+total
+    # from the Heap-after section
+    assert (m["old_before_k"], m["old_after_k"], m["old_total_k"]) == (
+        5578700, 2080894, 5595136)
+    assert m["old_diff_k"] == 5578700 - 2080894
+    assert (m["perm_before_k"], m["perm_after_k"], m["perm_total_k"]) == (
+        590847, 590105, 741376)
+    assert (m["heap_before_k"], m["heap_after_k"], m["heap_total_k"]) == (
+        4626942, 2113402, 8267520)
+    assert (m["gcs"], m["fgcs"], m["all_gcs"]) == (119, 4, 123)
+    assert (m["user_us"], m["sys_us"], m["real_us"]) == (340000, 10000, 150000)
+    assert round(m["old_pct"], 4) == round(2080894 / 5595136 * 100, 4)
+    # full GC: every segment from the GC line itself
+    assert f["gc_type"] == "FULLGC_SYS"
+    assert (f["yng_before_k"], f["yng_after_k"]) == (40000, 0)
+    assert (f["old_before_k"], f["old_after_k"], f["old_total_k"]) == (
+        5578700, 2080894, 5595136)
+    assert (f["perm_before_k"], f["perm_after_k"]) == (590847, 590105)
+    assert (f["heap_before_k"], f["heap_after_k"]) == (5618700, 2080894)
+    assert (f["gcs"], f["fgcs"], f["all_gcs"]) == (119, 5, 124)
+    assert f["real_us"] == 3680000 and f["runit"] == "secs"
 
 
 @_slow
