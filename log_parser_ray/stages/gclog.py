@@ -39,15 +39,23 @@ GC_RE = (
 _UNIT_MULT = {"K": 1, "M": 1024, "G": 1024 * 1024}
 
 
-def _to_kb(val, unit):
-    """value+suffix → integer KB (M18), vectorized."""
-    v = pc.cast(val, pa.int64())
+def _to_kb_f(val, unit):
+    """value+suffix → KB as float64 (M18), vectorized. Float for the B
+    branch because the reference's awk divides in floating point
+    (javaGCStatsParser.sh:379-381) and derives diff/pct from the UNtruncated
+    values; K/M/G stay integral so downstream truncation is the identity."""
+    v = pc.cast(val, pa.float64())
     out = v  # K
-    out = pc.if_else(pc.equal(unit, "M"), pc.multiply(v, 1024), out)
-    out = pc.if_else(pc.equal(unit, "G"), pc.multiply(v, 1024 * 1024), out)
-    out = pc.if_else(pc.equal(unit, "B"),
-                     pc.divide(v, 1024), out)
+    out = pc.if_else(pc.equal(unit, "M"), pc.multiply(v, 1024.0), out)
+    out = pc.if_else(pc.equal(unit, "G"), pc.multiply(v, 1024.0 * 1024), out)
+    out = pc.if_else(pc.equal(unit, "B"), pc.divide(v, 1024.0), out)
     return out
+
+
+def _to_kb(val, unit):
+    """value+suffix → integer KB — awk's printf %d truncation of the float
+    KB value (toward zero; GC sizes are non-negative, so trunc == floor)."""
+    return pc.cast(pc.trunc(_to_kb_f(val, unit)), pa.int64())
 
 
 def parse_gc_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -62,17 +70,19 @@ def parse_gc_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         def f(n):
             return pc.struct_field(ms, n)
 
-        before_k = _to_kb(f("b"), f("bu"))
-        after_k = _to_kb(f("a"), f("au"))
-        total_k = _to_kb(f("t"), f("tu"))
-        diff_k = pc.subtract(before_k, after_k)  # M19 reclaimed
+        # float KB first: diff and pct derive from the UNtruncated values
+        # (awk computes them before its printf %d truncation), so a B-suffix
+        # record rounds exactly like the reference; truncation to integer KB
+        # happens only at the emitted columns
+        bf = _to_kb_f(f("b"), f("bu"))
+        af = _to_kb_f(f("a"), f("au"))
+        tf = _to_kb_f(f("t"), f("tu"))
+        before_k = pc.cast(pc.trunc(bf), pa.int64())
+        after_k = pc.cast(pc.trunc(af), pa.int64())
+        total_k = pc.cast(pc.trunc(tf), pa.int64())
+        diff_k = pc.cast(pc.trunc(pc.subtract(bf, af)), pa.int64())  # M19
         pct_after = pc.round(
-            pc.multiply(
-                pc.divide(pc.cast(after_k, pa.float64()),
-                          pc.cast(total_k, pa.float64())),
-                100.0,
-            ),
-            ndigits=4,
+            pc.multiply(pc.divide(af, tf), 100.0), ndigits=4
         )
         pause_us = pc.cast(
             pc.round(pc.multiply(pc.cast(f("secs"), pa.float64()), 1_000_000.0)),

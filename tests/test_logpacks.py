@@ -134,13 +134,18 @@ def test_gc_unit_normalization(ray_session):
         "jvm0 [GC [PSYoungGen: 2M->1M(4M)] 0.0010000 secs]",
         "jvm0 [Full GC [ParOldGen: 1G->1G(2G)] 0.0010000 secs]",
         "jvm0 [GC [PSYoungGen: 2048B->1024B(4096B)] 0.0010000 secs]",
+        # sub-KB B values: awk divides in FLOAT and truncates only at print,
+        # so diff = trunc(1300/1024 - 300/1024) = 0 (not 1-0) and pct comes
+        # from the untruncated quotient (javaGCStatsParser.sh:379-381)
+        "jvm0 [GC [PSYoungGen: 1300B->300B(2048B)] 0.0010000 secs]",
     ]
     out = parse_gc_lines(lines_ds(rows)).to_pandas().sort_values("line_id")
-    assert out["before_k"].tolist() == [10, 2048, 1048576, 2]
-    assert out["after_k"].tolist() == [5, 1024, 1048576, 1]
-    assert out["total_k"].tolist() == [100, 4096, 2097152, 4]
-    assert out["diff_k"].tolist() == [5, 1024, 0, 1]
-    assert out["pause_us"].tolist() == [1000] * 4
+    assert out["before_k"].tolist() == [10, 2048, 1048576, 2, 1]
+    assert out["after_k"].tolist() == [5, 1024, 1048576, 1, 0]
+    assert out["total_k"].tolist() == [100, 4096, 2097152, 4, 2]
+    assert out["diff_k"].tolist() == [5, 1024, 0, 1, 0]
+    assert out["pause_us"].tolist() == [1000] * 5
+    assert round(out["pct_after"].tolist()[4], 4) == round(300 / 1024 / 2 * 100, 4)
 
 
 def test_mpmstats_plugin_order_insensitive(ray_session):
