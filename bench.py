@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "mpmstats_join",
     "gc_pause_summary",
     "hung_thread_stats",
+    # round-3 additions: multi-line GC reassembly + WAS event families
+    "gc_multiline_rows",
+    "was_cpu_starvation",
 ]
 
 

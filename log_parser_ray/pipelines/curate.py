@@ -39,7 +39,7 @@ from log_parser_ray.stages.aggregate import (
     grouped_count,
     merge_join,
 )
-from log_parser_ray.stages.dedup import JOIN_PARTITIONS, exact_dedup, minhash_clusters_ds
+from log_parser_ray.stages.dedup import exact_dedup, minhash_clusters_ds
 from log_parser_ray.stages.textops import quality_stats
 
 # tagged-union sides for the fused flag-attach sort
@@ -72,7 +72,6 @@ def run(
     near_threshold: float = 0.9,
     min_words: int = 20,
     max_stop_ratio: float = 0.6,
-    num_partitions: int = JOIN_PARTITIONS,
 ) -> dict:
     """Returns {"dispositions": Dataset(doc_id, disposition),
     "summary": DataFrame(disposition, n), "kept": int}."""
@@ -80,8 +79,7 @@ def run(
     survivors = exact_dedup(docs).select_columns(["doc_id"])
 
     # 2. near-dup cluster representatives (cluster_id == doc_id)
-    clusters = minhash_clusters_ds(docs, threshold=near_threshold,
-                                   num_partitions=num_partitions)
+    clusters = minhash_clusters_ds(docs, threshold=near_threshold)
     reps = clusters.map_batches(
         lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
         batch_format="pyarrow",

@@ -11,17 +11,20 @@ Scale design (100 TB corpus):
   per-doc Python) → 16 bands × 4 rows; each band's numpy-mixed 64-bit hash
   is a bucket key. The shuffle is groupby(bucket) over (bucket, doc_id)
   pairs — no text movement. Candidate pairs come out of buckets; the exact
-  Jaccard verify is a DISTRIBUTED hash join of the pair table against the
-  per-doc token-hash table on doc_id (two shuffles, ``Dataset.join``), so
-  no step collects the corpus to the driver. Precision is 1.0 by
-  construction; recall follows the banding S-curve
-  (P[candidate] = 1-(1-j^rows)^bands).
+  Jaccard verify is a DISTRIBUTED sort-merge join of the pair table against
+  the per-doc token-hash table on doc_id (two task-based range-sort passes,
+  ``aggregate.merge_join`` — no per-call shuffle-actor spawn), so no step
+  collects the corpus to the driver. One tokenize pass feeds both the
+  signatures and the verify blobs. Precision is 1.0 by construction; recall
+  follows the banding S-curve (P[candidate] = 1-(1-j^rows)^bands).
 * **near-dup clusters**: per-bucket edges to the bucket minimum (O(bucket),
-  the SlimPajama/RefinedWeb recipe), verified the same way, then connected
-  components by ITERATED DISTRIBUTED min-label propagation — each round is
-  one hash join (neighbor labels) plus one groupby-min; convergence is
-  detected from the label-sum scalar (labels only ever decrease). Docs in
-  no verified edge are singletons via an anti-join.
+  the SlimPajama/RefinedWeb recipe), verified the same way (the verify's
+  first sort pass also dedupes the raw edges), then connected components by
+  ITERATED DISTRIBUTED min-label propagation — each round is one sort-merge
+  message pass plus one groupby-min; convergence is detected from the
+  label-sum scalar (labels only ever decrease). Docs in no verified edge
+  become singletons via a left-outer merge_join; cluster sizes attach in
+  one window-count sort pass.
 * **near-dup, exact oracle-checkable variant**: inverted-index pairwise
   Jaccard (groupby(token) emits co-occurrence pairs). Exact but O(pairs);
   used for small/medium side paths and as the verification oracle for LSH.
@@ -51,7 +54,10 @@ MERSENNE_P = (1 << 61) - 1
 N_PERM = 64
 LSH_BANDS = 16
 LSH_ROWS = N_PERM // LSH_BANDS
-JOIN_PARTITIONS = 8  # hash-join fan-out; raise with cluster size
+# Legacy hash-join fan-out hint. Joins in this module are now task-based
+# sort-merge passes (aggregate.merge_join) whose fan-out follows the data,
+# so this constant only parameterizes _connected_components' partition count.
+JOIN_PARTITIONS = 8
 
 _word = re.compile(WORD_RE)
 
@@ -353,7 +359,6 @@ def doc_token_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 def verify_pairs(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
-    num_partitions: int = JOIN_PARTITIONS,
     th_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Exact Jaccard for (distinct) candidate pairs — fully distributed.
@@ -622,7 +627,6 @@ def _connected_components(
 
 def minhash_clusters_ds(
     docs: "ray.data.Dataset", threshold: float = 0.9,
-    num_partitions: int = JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Scalable MinHash-LSH dedup: near-dup CLUSTERS as a Dataset.
 
@@ -682,7 +686,7 @@ def minhash_clusters_ds(
             self_cluster, batch_format="pyarrow", zero_copy_batch=True
         )
         return with_group_size(all_lab, ["cluster_id"], alias="cluster_size")
-    verified = verify_pairs(raw_edges, docs, num_partitions, th_ds=sigs)
+    verified = verify_pairs(raw_edges, docs, th_ds=sigs)
     edges = verified.map_batches(
         lambda t, th=threshold: t.filter(pc.greater_equal(t["jac"], th)).select(
             ["a_id", "b_id"]
@@ -691,7 +695,7 @@ def minhash_clusters_ds(
         zero_copy_batch=True,
     )
 
-    labels = _connected_components(edges, num_partitions)
+    labels = _connected_components(edges)
 
     def as_cluster(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})

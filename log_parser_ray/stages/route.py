@@ -65,9 +65,13 @@ def write_batch_sinks(batch, out_dir: str) -> None:
         os.makedirs(d, exist_ok=True)
         # zstd: ~2× smaller text payloads than snappy for a little CPU —
         # trades shared-memory-bus bytes (the single-box scaling ceiling,
-        # BASELINE.md) for per-core compute, and halves the 100 TB sink
+        # BASELINE.md) for per-core compute, and halves the 100 TB sink.
+        # GRAFT_SINK_COMPRESSION overrides for the ceiling probes
+        # (tools/ceiling_probe.py): zstd (default) | snappy | none.
+        comp = os.environ.get("GRAFT_SINK_COMPRESSION", "zstd")
+        kw = {"compression_level": 1} if comp == "zstd" else {}
         pq.write_table(sub, os.path.join(d, f"part-{fp}.parquet"),
-                       compression="zstd", compression_level=1)
+                       compression=None if comp == "none" else comp, **kw)
 
 
 class EnrichWriteProject:
