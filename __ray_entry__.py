@@ -823,6 +823,16 @@ def q_text_quality(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing / shard assignment: docs laid end to end in doc_id
+    order, cut into 2048-token shards via a distributed ordered prefix sum
+    (per-block totals only to the driver)."""
+    return textops.pack_sequences(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        budget=2048,
+    )
+
+
 def q_token_counts_by_source(sf_dir: str):
     """BPE-ish token counting, aggregated per source (two-phase)."""
     return textops.token_counts_by_source(
@@ -1092,7 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis / PII
         "text_quality": q_text_quality,
         "lang_id_counts": q_lang_id_counts,
-        "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "pii_stats": q_pii_stats,
         "pii_redacted_rows": q_pii_redacted_rows,
@@ -1100,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": q_winnow_overlap,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         # ---- driver window (50) ends here ----
+        "repetition_stats": q_repetition_stats,
         "errlog_referrer_ranking": q_errlog_referrer_ranking,
         "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
         "reassembled_sessions": q_reassembled_sessions,
@@ -1683,6 +1694,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT term, COUNT(*) AS n FROM toks GROUP BY term
             ORDER BY n DESC, term LIMIT 10""",
+        "pack_sequences": f"""
+            SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS "offset",
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+            FROM (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS BIGINT) AS n_tokens
+                FROM documents))""",
         "text_quality": f"""
             SELECT doc_id, len_chars, n_words, n_stopwords,
                    round_even(n_stopwords / greatest(n_words, 1.0), 6) AS stop_ratio

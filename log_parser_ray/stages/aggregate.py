@@ -263,13 +263,24 @@ def merge_join(
         "left_anti": "left anti",
     }[how]
 
+    lt_schema = pa.schema(
+        [(k, left_schema.field(k).type) for k in keys]
+        + [(c, left_schema.field(c).type) for c in lvals]
+    )
+    rt_schema = pa.schema(
+        [(k, left_schema.field(k).type) for k in keys]
+        + [(c, rtypes[c]) for c in rvals]
+    )
+
     def emit(b: pa.Table) -> pa.Table:
         # in-process Acero hash join per co-located block — vectorized and
         # zero-copy for binary payloads (a pandas merge here would copy every
-        # blob into Python objects)
+        # blob into Python objects). The casts pin declared types: an
+        # all-empty upstream can surface null-typed columns, which Acero
+        # rejects as join payloads.
         side = b["__side"]
-        lt = b.filter(pc.equal(side, 0)).select(keys + lvals)
-        rt = b.filter(pc.equal(side, 1)).select(keys + rvals)
+        lt = b.filter(pc.equal(side, 0)).select(keys + lvals).cast(lt_schema)
+        rt = b.filter(pc.equal(side, 1)).select(keys + rvals).cast(rt_schema)
         out = lt.join(rt, keys=keys, join_type=arrow_how)
         return out.select(out_schema.names).cast(out_schema)
 
@@ -289,6 +300,71 @@ def with_group_size(
         return b.join(counts, keys=keys, join_type="inner")
 
     return group_safe_map(ds, keys, fn)
+
+
+def ordered_prefix_sum(
+    ds: "ray.data.Dataset",
+    order_keys: Sequence[str],
+    value_col: str,
+    alias: str = "cum",
+) -> "ray.data.Dataset":
+    """Global RUNNING TOTAL of ``value_col`` in ``order_keys`` order — the
+    SQL ``SUM(v) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)``.
+
+    Distributed scan shape (classic two-phase prefix sum): range-sort on the
+    order keys, one tiny task per block computes its block total, the driver
+    takes the EXCLUSIVE prefix over the per-block totals (one number per
+    block — never rows), and one task per block adds its offset to the
+    in-block cumulative sum. This is one of the few operators the Dataset
+    API can't express (a global ordered scan), so the per-block passes run
+    as raw Ray tasks over the sorted dataset's block refs; output block
+    order and content stay deterministic.
+
+    ``order_keys`` must be a TOTAL order (unique rows per key) — with ties
+    the running total at tied rows would depend on their arbitrary relative
+    order."""
+    import numpy as np
+    import ray
+
+    keys = list(order_keys)
+    s = ds.sort(keys).materialize()
+    refs = [
+        ref
+        for bundle in s.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+    ]
+
+    def _as_arrow(block) -> pa.Table:
+        # blocks may be pandas (e.g. from_pandas inputs) — normalize
+        return block if isinstance(block, pa.Table) else pa.Table.from_pandas(
+            block, preserve_index=False
+        )
+
+    @ray.remote
+    def block_sum(block) -> int:
+        t = _as_arrow(block)
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return 0
+        return int(pc.sum(t[value_col]).as_py() or 0)
+
+    @ray.remote
+    def block_cum(block, offset: int):
+        t = _as_arrow(block)
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return t
+        # the block arrived sorted on keys (sort output); cumsum row order
+        # IS key order
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            alias, pa.array(np.cumsum(v) + offset, pa.int64())
+        )
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums[:-1]))) if sums else []
+    out = [block_cum.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if not out:
+        return s
+    return ray.data.from_arrow_refs(out)
 
 
 def sorted_combine(

@@ -365,3 +365,47 @@ def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         return t.append_column("simhash", pa.array(fps, type=pa.string()))
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset", budget: int = 2048
+) -> "ray.data.Dataset":
+    """Contiguous token-budget SHARD ASSIGNMENT — the sequence-packing step
+    of a training-data pipeline: documents are laid end to end in doc_id
+    order and cut into shards of ``budget`` tokens; each doc is assigned the
+    shard its first token lands in.
+
+    Output per doc: (doc_id, n_tokens, offset = global token position of
+    the doc's first token, bin_id = offset // budget). Token count is the
+    WORD_RE kernel shared with quality_stats, so the SQL twin is exact:
+    ``SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)``.
+
+    Scale shape: one stateless count pass, then a distributed ordered
+    prefix sum (aggregate.ordered_prefix_sum — per-block totals to the
+    driver, one number per block, never rows)."""
+    from log_parser_ray.stages.aggregate import ordered_prefix_sum
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(t["text"]), WORD_RE),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    counted = docs.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+    cum = ordered_prefix_sum(counted, ["doc_id"], "n_tokens", alias="_cum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        offset = pc.subtract(t["_cum"], t["n_tokens"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "offset": offset,
+                # integer division: offsets are non-negative, so int64
+                # truncation == floor, exact at any corpus size
+                "bin_id": pc.divide(offset, budget),
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -212,3 +212,159 @@ def test_grouped_quantiles_under_block_splits(table):
     one = one.sort_values("k1").reset_index(drop=True)
     many = many.sort_values("k1").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+# --- merge_join: the engine's distributed sort-merge join ---------------
+
+
+@pytest.fixture(scope="module")
+def join_sides():
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 60, 400).astype("int64"),
+            "lv": rng.randint(0, 1000, 400).astype("int64"),
+        }
+    )
+    # right: unique keys 30..89 (half overlap), with a payload
+    right = pd.DataFrame(
+        {
+            "k": np.arange(30, 90, dtype="int64"),
+            "rv": np.arange(30, 90, dtype="int64") * 10,
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how,pd_how", [
+    ("inner", "inner"), ("left_outer", "left"),
+])
+def test_merge_join_matches_pandas(ray_session, join_sides, how, pd_how):
+    import pyarrow as pa
+
+    from log_parser_ray.stages.aggregate import merge_join
+
+    left, right = join_sides
+    got = (
+        merge_join(
+            rd.from_pandas(left).repartition(13),
+            rd.from_pandas(right).repartition(5),
+            on="k", how=how,
+            left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how=pd_how)
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["lv"].tolist() == want["lv"].tolist()
+    # left_outer: misses are null on the right payload
+    assert got["rv"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_merge_join_semi_anti(ray_session, join_sides, how):
+    import pyarrow as pa
+
+    from log_parser_ray.stages.aggregate import merge_join
+
+    left, right = join_sides
+    got = (
+        merge_join(
+            rd.from_pandas(left).repartition(7),
+            rd.from_pandas(right),
+            on="k", how=how,
+            left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    mask = left["k"].isin(right["k"])
+    want = (
+        left[mask if how == "left_semi" else ~mask]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_merge_join_multikey_and_right_on(ray_session):
+    """Composite keys + differing right-side key names; key order in the
+    output follows the LEFT names."""
+    import pyarrow as pa
+
+    from log_parser_ray.stages.aggregate import merge_join
+
+    left = pd.DataFrame(
+        {"a": ["x", "x", "y", "z"], "b": [1, 2, 1, 9], "lv": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame(
+        {"ra": ["x", "y", "y"], "rb": [2, 1, 3], "rv": [200, 100, 300]}
+    )
+    got = (
+        merge_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on=("a", "b"), right_on=("ra", "rb"), how="inner",
+            left_schema=pa.schema(
+                [("a", pa.string()), ("b", pa.int64()), ("lv", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [("ra", pa.string()), ("rb", pa.int64()), ("rv", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == {
+        "a": ["x", "y"], "b": [2, 1], "lv": [20, 30], "rv": [200, 100]
+    }
+
+
+def test_merge_join_empty_sides(ray_session):
+    import pyarrow as pa
+
+    from log_parser_ray.stages.aggregate import merge_join
+
+    left = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                         "lv": pd.array([], dtype="int64")})
+    right = pd.DataFrame({"k": [1, 2], "rv": [10, 20]})
+    out = merge_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="inner",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas()
+    assert len(out) == 0
+    # non-empty left joined against an empty right: left_outer keeps rows
+    out2 = merge_join(
+        rd.from_pandas(right.rename(columns={"rv": "lv"})),
+        rd.from_pandas(left.rename(columns={"lv": "rv"})),
+        on="k", how="left_outer",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas()
+    assert len(out2) == 2 and out2["rv"].isna().all()
+
+
+def test_with_group_size_window_count(ray_session):
+    from log_parser_ray.stages.aggregate import with_group_size
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "c", "c", "c"],
+                       "v": [1, 2, 3, 4, 5, 6]})
+    out = (
+        with_group_size(rd.from_pandas(df).repartition(4), ["g"], alias="n")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 2, 1, 3, 3, 3]
+    assert out["v"].tolist() == [1, 2, 3, 4, 5, 6]  # every row kept

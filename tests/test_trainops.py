@@ -580,3 +580,44 @@ def test_kmeans_fit_sampled_bounded_and_deterministic(ray_session):
         zip(want["query_id"], want["vec_id"])
     )
     assert len(inter) / len(want) >= 0.8  # recall vs brute force
+
+
+def test_ordered_prefix_sum(ray_session):
+    """Distributed ordered prefix sum: matches numpy cumsum in key order and
+    is invariant to input block layout."""
+    from log_parser_ray.stages.aggregate import ordered_prefix_sum
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    df = pd.DataFrame({"k": rng.permutation(n).astype("int64"),
+                       "v": rng.randint(0, 100, n).astype("int64")})
+    want = df.sort_values("k").reset_index(drop=True)
+    want["cum"] = want["v"].cumsum()
+    for parts in (1, 17):
+        got = (
+            ordered_prefix_sum(
+                ray.data.from_pandas(df).repartition(parts), ["k"], "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["cum"].tolist() == want["cum"].tolist()
+
+
+def test_pack_sequences(ray_session):
+    """Greedy contiguous token-budget sharding: offsets are the exclusive
+    running totals in doc_id order; bin = offset // budget; every shard
+    except the last spans at most budget + (max doc tokens - 1)."""
+    from log_parser_ray.stages.textops import pack_sequences
+
+    texts = ["one two three", "four five", "six", "seven eight nine ten",
+             "a b c d e f", ""]
+    out = (
+        pack_sequences(docs_ds(texts), budget=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 2, 1, 4, 6, 0]
+    assert out["offset"].tolist() == [0, 3, 5, 6, 10, 16]
+    assert out["bin_id"].tolist() == [0, 0, 1, 1, 2, 3]
