@@ -189,39 +189,44 @@ def reassemble_gc_blocks(lines: "ray.data.Dataset") -> "ray.data.Dataset":
 
     keep = lines.select_columns(["conv_id", "turn_idx", "text"])
 
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype=object),
+            "start_turn": pd.Series([], dtype="int64"),
+            "payload": pd.Series([], dtype=object),
+        }
+    )
+
     def assemble(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
-        rows = []
-        cur_conv = None
-        started, cur_start, cur_lines = False, None, []
-        for conv, turn, text in zip(
-            g["conv_id"].to_numpy(), g["turn_idx"].to_numpy(), g["text"].to_numpy()
-        ):
-            if conv != cur_conv:
-                cur_conv, started = conv, False
-            t = text or ""
-            if t.startswith(GC_BLOCK_BEGIN):
-                started, cur_start, cur_lines = True, turn, [t]
-            elif started:
-                cur_lines.append(t)
-                if t.startswith(GC_BLOCK_END):
-                    rows.append(
-                        {
-                            "conv_id": conv,
-                            "start_turn": int(cur_start),
-                            "payload": "\n".join(cur_lines),
-                        }
-                    )
-                    started, cur_start, cur_lines = False, None, []
-        if not rows:
-            return pd.DataFrame(
-                {
-                    "conv_id": pd.Series([], dtype=object),
-                    "start_turn": pd.Series([], dtype="int64"),
-                    "payload": pd.Series([], dtype=object),
-                }
-            )
-        return pd.DataFrame(rows)
+        # Vectorized segmentation (the awk state machine's block structure is
+        # a cumulative sum): block id = running count of BEGIN markers per
+        # conv; a block's rows run from its BEGIN to its FIRST `}` line; a
+        # BEGIN before the previous block's `}` implicitly drops the
+        # unterminated block (its rows get a new bid), and a trailing block
+        # with no `}` drops (null end position) — identical semantics to the
+        # reference's per-file carry-over handling.
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        text = g["text"].fillna("")
+        is_b = text.str.startswith(GC_BLOCK_BEGIN)
+        g["_bid"] = is_b.groupby(g["conv_id"], sort=False).cumsum()
+        g = g[g["_bid"] > 0]
+        if not len(g):
+            return empty.copy()
+        text = g["text"].fillna("")
+        pos = pd.Series(np.arange(len(g)), index=g.index)
+        is_e = text.str.startswith(GC_BLOCK_END)
+        key = [g["conv_id"], g["_bid"]]
+        end_pos = pos.where(is_e).groupby(key, sort=False).transform("min")
+        g = g[pos <= end_pos]  # NaN end (unterminated) compares False → drop
+        if not len(g):
+            return empty.copy()
+        out = (
+            g.groupby(["conv_id", "_bid"], sort=False)
+            .agg(start_turn=("turn_idx", "first"), payload=("text", "\n".join))
+            .reset_index()
+        )
+        out["start_turn"] = out["start_turn"].astype("int64")
+        return out[["conv_id", "start_turn", "payload"]]
 
     return _per_conv_blocks(keep, assemble)
 
