@@ -65,34 +65,52 @@ def _compose(batch: pa.Table) -> pa.Table:
         np.char.add("10.0.", (uidn % 256).astype(str)),
         np.char.add(".", (eid % 256).astype(str)),
     )
-    err_line = np.array([
-        f"{s} [{d}] [{e}] [client {c}] E{i % 50}: lookup failed, referer: http://site/p{i % 20}"
-        for s, d, e, c, i in zip(srv, dtm, evt, client, eid)
-    ], dtype=object)
-    rdy_line = np.array([
-        f"{s} [{d}] [notice] mpmstats: rdy {i % 50} bsy {i % 20} rd {i % 5} "
-        f"wr {i % 7} ka {i % 3} log {i % 2} dns {i % 11} cls {i % 13}"
-        for s, d, i in zip(srv, dtm, eid)
-    ], dtype=object)
 
-    line = np.where(is_err, err_line, rdy_line)
-    ids = eid * 2
-    out_lines = list(line)
-    out_ids = list(ids)
-    # bsy continuation lines (plugin order varies with eid%2 of half —
-    # matching must be order-insensitive)
-    for s, d, i in zip(srv[~is_err], dtm[~is_err], eid[~is_err]):
-        if i % 3 == 0:
-            continue
-        a = f"{i % 6} in mod_was_ap22_http.c"
-        b = f"{i % 4} in mod_webgate.c"
-        body = f"{a}, {b}" if (i // 2) % 2 == 0 else f"{b}, {a}"
-        out_lines.append(f"{s} [{d}] [notice] bsy: {body}")
-        out_ids.append(int(i) * 2 + 1)
-    return pa.table(
-        {"line_id": pa.array(out_ids, pa.int64()),
-         "text": pa.array(out_lines, pa.string())}
+    def s(a):
+        return pa.array(list(a), pa.string())
+
+    def istr(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    def j(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    err_line = j(
+        s(srv), " [", s(dtm), "] [", s(evt), "] [client ", s(client), "] E",
+        istr(eid % 50), ": lookup failed, referer: http://site/p",
+        istr(eid % 20),
     )
+    rdy_line = j(
+        s(srv), " [", s(dtm), "] [notice] mpmstats: rdy ", istr(eid % 50),
+        " bsy ", istr(eid % 20), " rd ", istr(eid % 5), " wr ", istr(eid % 7),
+        " ka ", istr(eid % 3), " log ", istr(eid % 2), " dns ", istr(eid % 11),
+        " cls ", istr(eid % 13),
+    )
+    line = pc.if_else(pa.array(is_err), err_line, rdy_line)
+    main = pa.table({"line_id": pa.array(eid * 2, pa.int64()), "text": line})
+
+    # bsy continuation lines (plugin order varies with (eid//2)%2 —
+    # matching must be order-insensitive); only for mpm rows with eid%3!=0
+    # (eid%3==0 exercises the absent-side → 0 left-join case)
+    has_bsy = (~is_err) & (eid % 3 != 0)
+    bi = eid[has_bsy]
+    a_part = pc.binary_join_element_wise(
+        istr(bi % 6), " in mod_was_ap22_http.c", ""
+    )
+    b_part = pc.binary_join_element_wise(istr(bi % 4), " in mod_webgate.c", "")
+    a_first = pa.array((bi // 2) % 2 == 0)
+    body = pc.if_else(
+        a_first,
+        pc.binary_join_element_wise(a_part, b_part, ", "),
+        pc.binary_join_element_wise(b_part, a_part, ", "),
+    )
+    bsy_line = j(
+        s(srv[has_bsy]), " [", s(dtm[has_bsy]), "] [notice] bsy: ", body
+    )
+    bsy = pa.table(
+        {"line_id": pa.array(bi * 2 + 1, pa.int64()), "text": bsy_line}
+    )
+    return pa.concat_tables([main, bsy])
 
 
 def synth_error_lines(sf_dir: str) -> "ray.data.Dataset":

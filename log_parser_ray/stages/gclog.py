@@ -117,15 +117,19 @@ def _compose(batch: pa.Table) -> pa.Table:
     b = eid % 10000 + 16
     a = eid % 3000 + 8
     t = 16384
-    frac = (eid % 10_000_000).astype(str)
-    lines = [
-        f"{j} [{ty} [{sg}: {bb}{u}->{aa}{u}({t}{u})] 0.{fr.zfill(7)} secs]"
-        for j, ty, sg, bb, aa, u, fr in zip(jvm, typ, seg, b, a, unit, frac)
-    ]
-    return pa.table(
-        {"line_id": pa.array(eid, pa.int64()),
-         "text": pa.array(lines, pa.string())}
+    def s(arr):
+        return pa.array(list(arr), pa.string())
+
+    def istr(arr):
+        return pc.cast(pa.array(arr), pa.string())
+
+    u = s(unit)
+    frac = pc.utf8_lpad(istr(eid % 10_000_000), 7, "0")
+    line = pc.binary_join_element_wise(
+        s(jvm), " [", s(typ), " [", s(seg), ": ", istr(b), u, "->", istr(a), u,
+        "(", istr(np.full(len(eid), t)), u, ")] 0.", frac, " secs]", "",
     )
+    return pa.table({"line_id": pa.array(eid, pa.int64()), "text": line})
 
 
 def synth_gc_lines(sf_dir: str) -> "ray.data.Dataset":
@@ -323,63 +327,64 @@ def parse_gc_invocations(blocks: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _compose_stream(batch: pa.Table) -> pa.Table:
-    """events rows → multi-line verbose-GC blocks (12-13 line rows per
-    event). Deterministic twin of GC_MULTI_TRUTH_CTE."""
-    eids = batch["event_id"].to_numpy()
+    """events rows → multi-line verbose-GC blocks (10 line rows per event),
+    fully vectorized (one binary_join kernel per block line). Deterministic
+    twin of GC_MULTI_TRUTH_CTE."""
+    eid = batch["event_id"].to_numpy()
     uidn = batch["user_id"].to_numpy()
-    convs, turns, texts = [], [], []
-    for eid, u in zip(eids, uidn):
-        eid = int(eid)
-        jvm = f"jvm{int(u) % 4}"
-        conv = f"{jvm}@{eid % 256}"
-        allg, fullg = eid + 10, eid % 7
-        yb, ya, yt = eid % 10000 + 16, eid % 3000 + 8, 16384
-        ob, oa, ot = eid % 8000 + 32, eid % 2000 + 16, 32768
-        pb, pa_, pt = eid % 500 + 64, eid % 400 + 32, 4096
-        hb, ha, ht = yb + ob, ya + oa, 49152
-        hour = eid % 24
-        stamp = f"2023-11-01T{hour:02d}:00:00.000-0500"
-        secs = f"0.{eid % 10_000_000:07d}"
-        usr, sy = f"{(eid % 90 + 10) / 100:.2f}", f"0.0{eid % 9}"
-        times = f"[Times: user={usr} sys={sy}, real={secs} secs]"
-        full, sysgc = eid % 5 == 0, eid % 10 == 0
-        block = [
-            f"{{Heap before GC invocations={allg} (full {fullg}):",
-            f" PSYoungGen      total {yt}K, used {yb}K [0x0,0x0)",
-            f" ParOldGen       total {ot}K, used {ob}K [0x0,0x0)",
-            f" PSPermGen       total {pt}K, used {pb}K [0x0,0x0)",
-        ]
-        if full:
-            label = "Full GC (System)" if sysgc else "Full GC"
-            block.append(
-                f"{stamp}: [{label} [PSYoungGen: {yb}K->{ya}K({yt}K)] "
-                f"[ParOldGen: {ob}K->{oa}K({ot}K)] {hb}K->{ha}K({ht}K) "
-                f"[PSPermGen: {pb}K->{pa_}K({pt}K)], {secs} secs] {times}"
-            )
-        else:
-            block.append(
-                f"{stamp}: [GC [PSYoungGen: {yb}K->{ya}K({yt}K)] "
-                f"{hb}K->{ha}K({ht}K), {secs} secs] {times}"
-            )
-        block += [
-            f"Heap after GC invocations={allg} (full {fullg}):",
-            f" PSYoungGen      total {yt}K, used {ya}K [0x0,0x0)",
-            f" ParOldGen       total {ot}K, used {oa}K [0x0,0x0)",
-            f" PSPermGen       total {pt}K, used {pa_}K [0x0,0x0)",
-            "}",
-        ]
-        base = eid * 16
-        for i, ln in enumerate(block):
-            convs.append(conv)
-            turns.append(base + i)
-            texts.append(ln)
-    return pa.table(
-        {
-            "conv_id": pa.array(convs, pa.string()),
-            "turn_idx": pa.array(turns, pa.int64()),
-            "text": pa.array(texts, pa.string()),
-        }
-    )
+
+    def istr(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    def j(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    conv = j("jvm", istr(uidn % 4), "@", istr(eid % 256))
+    allg, fullg = istr(eid + 10), istr(eid % 7)
+    yb, ya, yt = istr(eid % 10000 + 16), istr(eid % 3000 + 8), "16384"
+    ob, oa, ot = istr(eid % 8000 + 32), istr(eid % 2000 + 16), "32768"
+    pb, pa_, pt = istr(eid % 500 + 64), istr(eid % 400 + 32), "4096"
+    hb = istr((eid % 10000 + 16) + (eid % 8000 + 32))
+    ha = istr((eid % 3000 + 8) + (eid % 2000 + 16))
+    ht = "49152"
+    stamp = j("2023-11-01T", pc.utf8_lpad(istr(eid % 24), 2, "0"),
+              ":00:00.000-0500")
+    secs = j("0.", pc.utf8_lpad(istr(eid % 10_000_000), 7, "0"))
+    times = j("[Times: user=0.", istr(eid % 90 + 10), " sys=0.0",
+              istr(eid % 9), ", real=", secs, " secs]")
+    full = pa.array(eid % 5 == 0)
+    label = pc.if_else(pa.array(eid % 10 == 0), "Full GC (System)", "Full GC")
+    gc_minor = j(stamp, ": [GC [PSYoungGen: ", yb, "K->", ya, "K(", yt,
+                 "K)] ", hb, "K->", ha, "K(", ht, "K), ", secs, " secs] ",
+                 times)
+    gc_full = j(stamp, ": [", label, " [PSYoungGen: ", yb, "K->", ya, "K(",
+                yt, "K)] [ParOldGen: ", ob, "K->", oa, "K(", ot, "K)] ", hb,
+                "K->", ha, "K(", ht, "K) [PSPermGen: ", pb, "K->", pa_, "K(",
+                pt, "K)], ", secs, " secs] ", times)
+    block_lines = [
+        j("{Heap before GC invocations=", allg, " (full ", fullg, "):"),
+        j(" PSYoungGen      total ", yt, "K, used ", yb, "K [0x0,0x0)"),
+        j(" ParOldGen       total ", ot, "K, used ", ob, "K [0x0,0x0)"),
+        j(" PSPermGen       total ", pt, "K, used ", pb, "K [0x0,0x0)"),
+        pc.if_else(full, gc_full, gc_minor),
+        j("Heap after GC invocations=", allg, " (full ", fullg, "):"),
+        j(" PSYoungGen      total ", yt, "K, used ", ya, "K [0x0,0x0)"),
+        j(" ParOldGen       total ", ot, "K, used ", oa, "K [0x0,0x0)"),
+        j(" PSPermGen       total ", pt, "K, used ", pa_, "K [0x0,0x0)"),
+        pa.array(["}"] * len(eid), pa.string()),
+    ]
+    base = eid * 16
+    parts = [
+        pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": pa.array(base + i, pa.int64()),
+                "text": line,
+            }
+        )
+        for i, line in enumerate(block_lines)
+    ]
+    return pa.concat_tables(parts)
 
 
 def synth_gc_stream(sf_dir: str) -> "ray.data.Dataset":

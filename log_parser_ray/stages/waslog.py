@@ -242,14 +242,14 @@ def _compose(batch: pa.Table) -> pa.Table:
             "",
         ),
     )
-    lines = [
-        f"{s} [{d}:000 UTC] {th} {c} {e} {m}"
-        for s, d, th, c, e, m in zip(srv, dtm, thread, comp, evt, msg)
-    ]
-    return pa.table(
-        {"line_id": pa.array(eid, pa.int64()),
-         "text": pa.array(lines, pa.string())}
+    def s(a):
+        return pa.array(list(a), pa.string())
+
+    line = pc.binary_join_element_wise(
+        s(srv), " [", s(dtm), ":000 UTC] ", s(thread), " ", s(comp), " ",
+        s(evt), " ", s(msg), "",
     )
+    return pa.table({"line_id": pa.array(eid, pa.int64()), "text": line})
 
 
 def synth_was_lines(sf_dir: str) -> "ray.data.Dataset":
