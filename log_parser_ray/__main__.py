@@ -111,6 +111,16 @@ def main(argv=None) -> int:
                 sort_keys=True,
             )
         )
+        if args.raw_logs:
+            sc = dict(zip(res["sink_counts"]["sink"], map(int, res["sink_counts"]["n"])))
+            if res["rows"] and sc.get("unparsed", 0) / res["rows"] > 0.9:
+                print(
+                    "note: >90% of lines routed to the 'unparsed' sink — "
+                    "--raw-logs treats lines as transcript turns; for real "
+                    "Apache/WAS/GC log files use --access-logs or "
+                    "--master-logs (per-family parsers).",
+                    file=sys.stderr,
+                )
     return 0
 
 
