@@ -848,6 +848,14 @@ def q_lang_id_counts(sf_dir: str):
     return grouped_count(ds, ["lang", "pred_lang"], alias="n")
 
 
+def q_decontaminate_join(sf_dir: str):
+    """Decontamination via a distributed gram join — the eval-set-too-big-
+    to-broadcast scale path (identical result to `decontaminate`)."""
+    return textops.decontaminate_join(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def q_pii_stats(sf_dir: str):
     """PII scrub report over the transcript corpus: per-rule match and
     affected-row totals (uid=… auth identifiers hit on this corpus; the
@@ -1110,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": q_winnow_overlap,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         # ---- driver window (50) ends here ----
+        "decontaminate_join": q_decontaminate_join,
         "repetition_stats": q_repetition_stats,
         "errlog_referrer_ranking": q_errlog_referrer_ranking,
         "conv_avg_rt_ranking": q_conv_avg_rt_ranking,
@@ -1366,7 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
         for s in SINKS
     )
-    return {
+    d = {
         "routed_rows": P + "SELECT * FROM enriched",
         "sink_counts": P + "SELECT sink, COUNT(*) AS n FROM enriched GROUP BY sink",
         "conv_category_counts": P
@@ -1859,3 +1868,7 @@ def oracle_sql() -> dict[str, str]:
                   ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
             WHERE rn <= 5""",
     }
+    # the join-based decontamination variant computes the SAME result as the
+    # broadcast one — one oracle serves both
+    d["decontaminate_join"] = d["decontaminate"]
+    return d

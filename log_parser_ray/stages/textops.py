@@ -311,6 +311,84 @@ def decontaminate(docs: "ray.data.Dataset", n: int = NGRAM_N) -> "ray.data.Datas
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _non_eval(t: pa.Table) -> pa.Table:
+    mod = pc.subtract(
+        t["doc_id"], pc.multiply(pc.divide(t["doc_id"], EVAL_MOD), EVAL_MOD)
+    )
+    return t.filter(pc.not_equal(mod, 0))
+
+
+def decontaminate_join(docs: "ray.data.Dataset", n: int = NGRAM_N) -> "ray.data.Dataset":
+    """Decontamination via a DISTRIBUTED gram join — the scale path for an
+    eval set too large to broadcast (``decontaminate`` above ships the gram
+    set via ``ray.put``, which is the right call only while it fits worker
+    memory; its docstring carried this as a noted limit). Identical output:
+    (doc_id, n_hits, contaminated) over the non-eval docs.
+
+    Shape: eval docs explode to a globally-distinct gram Dataset; training
+    docs explode to (doc_id, gram) OCCURRENCE rows (multiplicity kept); a
+    sort-merge LEFT SEMI join keeps each occurrence iff its gram is in the
+    eval table; per-doc counts and a left-outer join back onto the doc spine
+    fill zero for clean docs. Every step is a task-based range shuffle —
+    nothing is collected or broadcast."""
+    from log_parser_ray.stages.aggregate import (
+        grouped_count,
+        merge_join,
+        sorted_combine,
+    )
+
+    def eval_grams_fn(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], EVAL_MOD), EVAL_MOD)
+        )
+        t = t.filter(pc.equal(mod, 0))
+        flat, parent = _explode_terms(t)
+        g, _ = _ngram_strings(flat, parent, n)
+        return pa.table({"g": g}).group_by(["g"]).aggregate([])
+
+    ev = sorted_combine(
+        docs.map_batches(eval_grams_fn, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [], keep=["g"],
+    )
+
+    def occ_fn(t: pa.Table) -> pa.Table:
+        t = _non_eval(t)
+        flat, parent = _explode_terms(t)
+        g, gp = _ngram_strings(flat, parent, n)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gp]
+        return pa.table({"g": g, "doc_id": pa.array(ids, pa.int64())})
+
+    occ = docs.map_batches(occ_fn, batch_format="pyarrow", zero_copy_batch=True)
+    hits = merge_join(
+        occ, ev, on="g", how="left_semi",
+        left_schema=pa.schema([("g", pa.string()), ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("g", pa.string())]),
+    )
+    counts = grouped_count(hits, ["doc_id"], alias="n_hits")
+
+    ids = docs.map_batches(
+        lambda t: _non_eval(t).select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    withc = merge_join(
+        ids, counts, on="doc_id", how="left_outer",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        hitsc = pc.fill_null(t["n_hits"], 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": hitsc,
+                "contaminated": pc.greater(hitsc, 0),
+            }
+        )
+
+    return withc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def md5_hex(texts) -> list[str]:
     """Stable content fingerprint (hex md5) — matches DuckDB md5(text)."""
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]

@@ -621,3 +621,21 @@ def test_pack_sequences(ray_session):
     assert out["n_tokens"].tolist() == [3, 2, 1, 4, 6, 0]
     assert out["offset"].tolist() == [0, 3, 5, 6, 10, 16]
     assert out["bin_id"].tolist() == [0, 0, 1, 1, 2, 3]
+
+
+def test_decontaminate_join_matches_broadcast(ray_session):
+    """The distributed gram-join decontamination returns exactly the
+    broadcast variant's rows (same docs, same multiplicities)."""
+    rng = np.random.RandomState(5)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "run", "fox"])
+    texts = [" ".join(rng.choice(vocab, 20)) for _ in range(120)]
+    ds = docs_ds(texts)
+    a = (
+        textops.decontaminate(ds, n=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        textops.decontaminate_join(ds, n=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
