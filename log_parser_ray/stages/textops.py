@@ -415,9 +415,6 @@ def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     Near-identical docs differ in few bits → near-dup detection by Hamming
     distance (see dedup.simhash_candidate_pairs)."""
 
-    import re
-
-    word = re.compile(WORD_RE)
     shift = np.arange(64, dtype=np.uint64)
     bit_cache: dict[str, np.ndarray] = {}  # token → ±1 bit votes (vocab is tiny)
 
@@ -432,14 +429,20 @@ def simhash64(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         return v
 
     def fn(t: pa.Table) -> pa.Table:
-        fps = []
-        for s in t["text"].to_pylist():
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in word.findall(s.lower()):
-                votes += token_bits(tok)
-            fp = int(np.packbits((votes > 0).astype(np.uint8), bitorder="little")
-                     .view(np.uint64)[0])
-            fps.append(f"{fp:016x}")
+        # vectorized: one explode per batch, md5 once per DISTINCT token
+        # (np.unique + cache), then one grouped ±1-vote accumulation
+        # (np.add.at over the parent index) — no per-doc Python loop
+        n = t.num_rows
+        flat, parent = _explode_terms(t)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if len(flat):
+            toks = flat.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            bits = np.stack([token_bits(u) for u in uniq])  # (n_uniq, 64)
+            np.add.at(votes, parent, bits[inv])
+        fp = np.packbits((votes > 0).astype(np.uint8), axis=1,
+                         bitorder="little").view(np.uint64).reshape(-1)
+        fps = [f"{int(x):016x}" for x in fp]
         return t.append_column("simhash", pa.array(fps, type=pa.string()))
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
