@@ -247,7 +247,7 @@ def jaccard_pairs(
 
 def minhash_signatures(
     docs: "ray.data.Dataset", n_perm: int = N_PERM, batch_size: int = 4096,
-    *, with_token_hashes: bool = False,
+    *, with_token_hashes: bool = False, with_fingerprint: bool = False,
 ):
     """(doc_id, sig: fixed_size_list<uint64>[n_perm]) — batch-vectorized.
 
@@ -302,6 +302,11 @@ def minhash_signatures(
         cols = {"doc_id": t["doc_id"], "sig": sig_arr}
         if with_token_hashes:
             cols["th"] = pa.array(ths, pa.binary())
+        if with_fingerprint:
+            cols["fp"] = pa.array(
+                [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts],
+                pa.string(),
+            )
         return pa.table(cols)
 
     return docs.map_batches(
@@ -638,10 +643,43 @@ def minhash_clusters_ds(
     then connected components by distributed label propagation. Output:
     (doc_id, cluster_id=min doc in component, cluster_size). No driver-side
     materialization anywhere — the round-1 token_sets dict and pandas CC
-    fixpoint are gone."""
+    fixpoint are gone.
 
-    sigs = minhash_signatures(docs, with_token_hashes=True).materialize()
-    buckets = lsh_buckets(sigs)
+    EXACT-DEDUP-FIRST (the published recipe order — SlimPajama/RefinedWeb
+    run exact dedup before MinHash): one fp-keyed sort co-locates identical
+    texts and the near-dup machinery runs over DISTINCT texts only; copies
+    inherit their survivor's component through the (doc_id, sdoc) mapping.
+    Without this, a dup-heavy corpus multiplies bucket edges and the
+    verify stage's blob shuffle by the copy count — measured 70 s for 320 k
+    docs (64 exact copies each) vs ~12 s with the dedup-first shape
+    (tools/dedup_scale_probe.py). The component PARTITION is provably
+    unchanged: exact copies share every band bucket, so LSH-over-all-docs
+    connects them to exactly the components their survivor joins, and
+    cluster_id = component-min doc id either way — the SQL oracle
+    (LSH over all docs) therefore still matches value-for-value."""
+
+    sigs = minhash_signatures(
+        docs, with_token_hashes=True, with_fingerprint=True
+    ).materialize()
+
+    # one sort on fp: attach sdoc = min doc_id of each identical-text group
+    def attach_sdoc(b: pa.Table) -> pa.Table:
+        df = b.select(["doc_id", "fp"]).to_pandas()
+        sdoc = df.groupby("fp", sort=False)["doc_id"].transform("min").to_numpy()
+        return b.append_column("sdoc", pa.array(sdoc, pa.int64()))
+
+    from log_parser_ray.stages.aggregate import group_safe_map
+
+    mapped = group_safe_map(sigs, ["fp"], attach_sdoc).materialize()
+    mapping = mapped.select_columns(["doc_id", "sdoc"])
+    surv_sigs = mapped.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["sdoc"])).select(
+            ["doc_id", "sig", "th"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    buckets = lsh_buckets(surv_sigs)
 
     def edges_fn(b: pa.Table) -> pa.Table:
         bk = np.asarray(b["bucket"])
@@ -668,25 +706,19 @@ def minhash_clusters_ds(
             }
         )
 
-    from log_parser_ray.stages.aggregate import (
-        group_safe_map,
-        merge_join,
-        with_group_size,
-    )
-
-    ids = docs.select_columns(["doc_id"])
-    lab_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    from log_parser_ray.stages.aggregate import merge_join, with_group_size
 
     def self_cluster(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"], "cluster_id": t["doc_id"]})
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": t["sdoc"]})
 
     raw_edges = group_safe_map(buckets, ["bucket"], edges_fn).materialize()
     if raw_edges.count() == 0:
-        all_lab = ids.map_batches(
+        # no candidate buckets: every doc's component is its exact-dup group
+        all_lab = mapping.map_batches(
             self_cluster, batch_format="pyarrow", zero_copy_batch=True
         )
         return with_group_size(all_lab, ["cluster_id"], alias="cluster_size")
-    verified = verify_pairs(raw_edges, docs, th_ds=sigs)
+    verified = verify_pairs(raw_edges, docs, th_ds=surv_sigs)
     edges = verified.map_batches(
         lambda t, th=threshold: t.filter(pc.greater_equal(t["jac"], th)).select(
             ["a_id", "b_id"]
@@ -698,23 +730,23 @@ def minhash_clusters_ds(
     labels = _connected_components(edges)
 
     def as_cluster(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
+        return pa.table({"sdoc": t["node"], "cluster_id": t["label"]})
 
     clustered = labels.map_batches(as_cluster, batch_format="pyarrow", zero_copy_batch=True)
 
-    # one left-outer sort-merge join attaches each doc's component label;
-    # docs in no verified edge get themselves as the label (singletons) —
-    # replaces the previous anti-join + union (one fewer shuffle, and no
-    # hash-join actor pools anywhere in the pipeline)
+    # one left-outer sort-merge join on the SURVIVOR id attaches each doc's
+    # component label; survivors in no verified edge (and all their exact
+    # copies) fall back to the survivor id — which IS the component minimum
+    # for a pure exact-dup group
     withlab = merge_join(
-        ids, clustered, on="doc_id", how="left_outer",
-        left_schema=pa.schema([("doc_id", pa.int64())]),
-        right_schema=lab_schema,
+        mapping, clustered, on="sdoc", how="left_outer",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("sdoc", pa.int64())]),
+        right_schema=pa.schema([("sdoc", pa.int64()), ("cluster_id", pa.int64())]),
     )
     all_lab = withlab.map_batches(
         lambda t: pa.table(
             {"doc_id": t["doc_id"],
-             "cluster_id": pc.coalesce(t["cluster_id"], t["doc_id"])}
+             "cluster_id": pc.coalesce(t["cluster_id"], t["sdoc"])}
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
