@@ -107,7 +107,10 @@ def run(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=32768,
+        # batch_size intentionally UNSET: a row floor blocks Read fusion
+        # (flagship.py note) and would force the full-width text lines
+        # through the object store once; unset, the plan fuses
+        # read → parse → sink-write → project into one task per file
     )
     # ONE materialize, narrow columns only, parsed sink only
     ok = narrow.map_batches(

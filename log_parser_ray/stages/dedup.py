@@ -784,22 +784,28 @@ def simhash_candidate_pairs(
     )
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        hs = [int(x, 16) for x in t["simhash"].to_pylist()]
-        ob, od, oh = [], [], []
-        for d, h in zip(ids, hs):
-            for s in range(n_seg):
-                seg = (h >> (s * seg_bits)) & ((1 << seg_bits) - 1)
-                ob.append(f"{s}:{seg:x}")
-                od.append(d)
-                oh.append(h)
-        return pa.table(
-            {
-                "bucket": pa.array(ob),
-                "doc_id": pa.array(od, pa.int64()),
-                "h": pa.array(oh, pa.uint64()),
-            }
+        # vectorized: parse hex once, then one shift/mask + one string-join
+        # kernel per segment (n_seg tables concatenated; no per-doc loop)
+        n = t.num_rows
+        hs = np.array(
+            [int(x, 16) for x in t["simhash"].to_pylist()], dtype=np.uint64
         )
+        mask = np.uint64((1 << seg_bits) - 1)
+        parts = []
+        for s in range(n_seg):
+            seg = (hs >> np.uint64(s * seg_bits)) & mask
+            bucket = pc.binary_join_element_wise(
+                f"{s}:",
+                pc.cast(pa.array(seg, pa.uint64()), pa.string()),
+                "",
+            )
+            parts.append(
+                pa.table(
+                    {"bucket": bucket, "doc_id": t["doc_id"],
+                     "h": pa.array(hs, pa.uint64())}
+                )
+            )
+        return pa.concat_tables(parts)
 
     exploded = fps.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None

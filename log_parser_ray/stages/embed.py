@@ -11,14 +11,11 @@ batch sizing, fixed-size-list output) is identical.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
 
 import ray.data
-
-from log_parser_ray.stages.textops import WORD_RE
 
 EMBED_DIM = 64
 
@@ -35,7 +32,6 @@ class HashEmbedder:
             "ray.data._internal.arrow_ops.transform_pyarrow"
         ).setLevel(logging.ERROR)
         self.dim = dim
-        self._word = re.compile(WORD_RE)
         self._cache: dict[str, tuple[int, int]] = {}  # token → (bucket, sign)
 
     def _slot(self, tok: str) -> tuple[int, int]:
@@ -47,11 +43,18 @@ class HashEmbedder:
         return v
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # vectorized: one explode per batch, md5 once per DISTINCT token
+        # (np.unique + the actor cache), then one grouped scatter-add —
+        # the same shape a batched model forward pass would replace
+        from log_parser_ray.stages.textops import _explode_terms
+
         out = np.zeros((t.num_rows, self.dim), dtype=np.float32)
-        for i, s in enumerate(t["text"].to_pylist()):
-            for tok in self._word.findall((s or "").lower()):
-                b, sign = self._slot(tok)
-                out[i, b] += sign
+        flat, parent = _explode_terms(t)
+        if len(flat):
+            toks = flat.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            slots = np.array([self._slot(u) for u in uniq], dtype=np.int64)
+            np.add.at(out, (parent, slots[inv, 0]), slots[inv, 1])
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         out /= norms
