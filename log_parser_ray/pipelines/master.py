@@ -96,21 +96,26 @@ def run(log_dir: str, out_dir: str) -> dict:
         # report edges (small aggregates): the reference's errCntByRef
         # ranking (webErrorLogParser.sh:341-347) and the per-server max-bsy
         # mpmstats record that feeds WebErrorLogMpmStatsRpt_all.csv
-        # (:361-379) — both rendered from the already-parsed Datasets
-        referrer_error_ranking(errs).to_pandas().to_csv(
-            os.path.join(out_dir, "error", "errCntByRef.csv"), index=False
-        )
-        mx = argmax_by(
-            mpm.select_columns(
-                ["srv", "line_id", "dtm", "rdy", "bsy", "rd", "wr", "ka",
-                 "log", "dns", "cls", "was_bsy", "wbg_bsy"]
-            ),
-            ["srv"], ["bsy", "line_id"], [True, False],
-        ).to_pandas().sort_values("srv")
-        mx.to_csv(
-            os.path.join(out_dir, "error", "WebErrorLogMpmStatsRpt_all.csv"),
-            index=False,
-        )
+        # (:361-379) — both rendered from the already-parsed Datasets.
+        # Either family can be absent from a given error_log (mpmstats is
+        # IHS-specific; a pure-mpmstats log has no error lines) — skip the
+        # report, don't crash on a column-less empty frame.
+        if errs.count() > 0:
+            referrer_error_ranking(errs).to_pandas().to_csv(
+                os.path.join(out_dir, "error", "errCntByRef.csv"), index=False
+            )
+        if mpm.count() > 0:
+            mx = argmax_by(
+                mpm.select_columns(
+                    ["srv", "line_id", "dtm", "rdy", "bsy", "rd", "wr", "ka",
+                     "log", "dns", "cls", "was_bsy", "wbg_bsy"]
+                ),
+                ["srv"], ["bsy", "line_id"], [True, False],
+            ).to_pandas().sort_values("srv")
+            mx.to_csv(
+                os.path.join(out_dir, "error", "WebErrorLogMpmStatsRpt_all.csv"),
+                index=False,
+            )
         record("error", int(errs.count()), t0)
 
     if _has_files(log_dir, FAMILIES["was"]):

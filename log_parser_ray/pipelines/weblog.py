@@ -103,7 +103,11 @@ def run(
         _parse_write_project,
         fn_kwargs={
             "out_dir": os.path.join(out_dir, "routed"),
-            "clone_items": tuple(sorted(clone_map.items())) if clone_map else None,
+            # `is not None`: clone_map={} means "no clone collapsing", which
+            # must NOT fall back to the default CLONE_MAP
+            "clone_items": (
+                tuple(sorted(clone_map.items())) if clone_map is not None else None
+            ),
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -54,9 +54,8 @@ MERSENNE_P = (1 << 61) - 1
 N_PERM = 64
 LSH_BANDS = 16
 LSH_ROWS = N_PERM // LSH_BANDS
-# Legacy hash-join fan-out hint. Joins in this module are now task-based
-# sort-merge passes (aggregate.merge_join) whose fan-out follows the data,
-# so this constant only parameterizes _connected_components' partition count.
+# Retained for API compatibility only: joins in this module are task-based
+# sort-merge passes (aggregate.merge_join) whose fan-out follows the data.
 JOIN_PARTITIONS = 8
 
 _word = re.compile(WORD_RE)
@@ -303,10 +302,11 @@ def minhash_signatures(
         if with_token_hashes:
             cols["th"] = pa.array(ths, pa.binary())
         if with_fingerprint:
-            cols["fp"] = pa.array(
-                [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts],
-                pa.string(),
-            )
+            # the SAME fingerprint as textops.fingerprint/exact_dedup — the
+            # exact-dedup-first clustering depends on these staying identical
+            from log_parser_ray.stages.textops import md5_hex
+
+            cols["fp"] = pa.array(md5_hex(texts), pa.string())
         return pa.table(cols)
 
     return docs.map_batches(
@@ -518,8 +518,7 @@ def _cc_single_task(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _connected_components(
-    edges: "ray.data.Dataset", num_partitions: int = JOIN_PARTITIONS,
-    max_iter: int = 25,
+    edges: "ray.data.Dataset", max_iter: int = 25,
 ) -> "ray.data.Dataset":
     """(a_id, b_id) edge Dataset → (node, label=min id of its component).
 
@@ -658,9 +657,9 @@ def minhash_clusters_ds(
     cluster_id = component-min doc id either way — the SQL oracle
     (LSH over all docs) therefore still matches value-for-value."""
 
-    sigs = minhash_signatures(
-        docs, with_token_hashes=True, with_fingerprint=True
-    ).materialize()
+    # lazy: group_safe_map materializes its input, so the (sig, th, fp)
+    # table is pinned ONCE (as `mapped`), not twice
+    sigs = minhash_signatures(docs, with_token_hashes=True, with_fingerprint=True)
 
     # one sort on fp: attach sdoc = min doc_id of each identical-text group
     def attach_sdoc(b: pa.Table) -> pa.Table:

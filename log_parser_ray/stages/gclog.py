@@ -52,10 +52,6 @@ def _to_kb_f(val, unit):
     return out
 
 
-def _to_kb(val, unit):
-    """value+suffix → integer KB — awk's printf %d truncation of the float
-    KB value (toward zero; GC sizes are non-negative, so trunc == floor)."""
-    return pc.cast(pc.trunc(_to_kb_f(val, unit)), pa.int64())
 
 
 def parse_gc_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -156,7 +152,7 @@ def synth_gc_lines(sf_dir: str) -> "ray.data.Dataset":
 # GCs carry all segments on the GC line itself, exactly the awk's
 # _xtractOldPermBVals / _xtractOldPermAVals phase flags. Values in real
 # PrintHeapAtGC streams are K-suffixed; unit normalization for the
-# single-line K/B/M/G variants lives in `_to_kb` above.
+# single-line K/B/M/G variants lives in `_to_kb_f` above.
 
 GC_BLOCK_BEGIN = "{Heap before GC invocations="
 GC_BLOCK_END = "}"

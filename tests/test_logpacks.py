@@ -586,3 +586,24 @@ def test_was_parser_roundtrip(ray_session, srv, thread, comp, evt, msgid, tail):
     assert out["msg"] == msg
     named = msgid in ("WTRN0006W", "WTRN0124I", "WSVR0001I")
     assert bool(out["is_severe"]) == (evt in "WEF" or named)
+
+
+def test_master_error_family_without_mpmstats(ray_session, tmp_path):
+    """error_log files with zero mpmstats lines (plain Apache — mpmstats is
+    IHS-specific) must not crash the orchestrator's report edge; the
+    mpmstats CSV is simply absent."""
+    from log_parser_ray.pipelines import master
+
+    logd = tmp_path / "logs"
+    logd.mkdir()
+    (logd / "error_log.0101").write_text(
+        "srvA [Sun Jun 14 00:00:48 2015] [error] [client 10.0.0.9] "
+        "E1: lookup failed, referer: http://site/p1\n"
+    )
+    out = str(tmp_path / "out")
+    res = master.run(str(logd), out)
+    assert res["error"] == 1
+    assert os.path.isfile(os.path.join(out, "error", "errCntByRef.csv"))
+    assert not os.path.exists(
+        os.path.join(out, "error", "WebErrorLogMpmStatsRpt_all.csv")
+    )
