@@ -227,6 +227,13 @@ def merge_join(
     overlap = set(lvals) & set(rvals)
     if overlap:
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    key_clash = (set(lvals) | set(rvals)) & set(keys)
+    if key_clash:
+        raise ValueError(
+            f"non-key columns named like join keys: {sorted(key_clash)}"
+        )
+    if "__side" in set(lvals) | set(rvals) | set(keys):
+        raise ValueError("'__side' is reserved by merge_join")
     out_fields = [(k, left_schema.field(k).type) for k in keys]
     out_fields += [(c, left_schema.field(c).type) for c in lvals]
     if how in ("inner", "left_outer"):
@@ -296,7 +303,9 @@ def with_group_size(
 
     def fn(b: pa.Table) -> pa.Table:
         counts = b.group_by(keys).aggregate([([], "count_all")])
-        counts = counts.rename_columns(keys + [alias])
+        counts = counts.rename_columns(  # by NAME: group_by column order
+            [alias if c == "count_all" else c for c in counts.column_names]
+        )
         return b.join(counts, keys=keys, join_type="inner")
 
     return group_safe_map(ds, keys, fn)
@@ -322,16 +331,29 @@ def ordered_prefix_sum(
 
     ``order_keys`` must be a TOTAL order (unique rows per key) — with ties
     the running total at tied rows would depend on their arbitrary relative
-    order."""
+    order. ``value_col`` must be integral; nulls count as 0 (pc.sum
+    semantics), and a float column raises (a safe cast — never silent
+    truncation)."""
     import numpy as np
     import ray
 
     keys = list(order_keys)
-    s = ds.sort(keys).materialize()
+    # same pre-sort fragmentation coalesce as group_safe_map: the sort's
+    # task fan-out should track data size, not reader parallelism
+    m = ds.materialize()
+    nb = m.num_blocks()
+    size = m.size_bytes() or 0
+    target = max(1, min(nb, size // _SORT_TARGET_BLOCK_BYTES + 1))
+    if nb > 4 * target:
+        m = m.repartition(target)
+    s = m.sort(keys).materialize()
+    # skip Ray's column-less empty sort-range blocks: they would re-emit as
+    # schema-poisoning blocks in the output (see conform_schema)
     refs = [
         ref
         for bundle in s.iter_internal_ref_bundles()
         for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
     ]
 
     def _as_arrow(block) -> pa.Table:
@@ -340,23 +362,27 @@ def ordered_prefix_sum(
             block, preserve_index=False
         )
 
+    def _vals(t: pa.Table) -> "np.ndarray":
+        # null → 0 (pc.sum semantics); safe cast raises on lossy floats
+        col = pc.cast(pc.fill_null(t[value_col], 0), pa.int64())
+        return col.to_numpy(zero_copy_only=False)
+
     @ray.remote
     def block_sum(block) -> int:
         t = _as_arrow(block)
-        if t.num_rows == 0 or value_col not in t.column_names:
+        if t.num_rows == 0:
             return 0
-        return int(pc.sum(t[value_col]).as_py() or 0)
+        return int(_vals(t).sum())
 
     @ray.remote
     def block_cum(block, offset: int):
         t = _as_arrow(block)
-        if t.num_rows == 0 or value_col not in t.column_names:
+        if t.num_rows == 0:
             return t
         # the block arrived sorted on keys (sort output); cumsum row order
         # IS key order
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column(
-            alias, pa.array(np.cumsum(v) + offset, pa.int64())
+            alias, pa.array(np.cumsum(_vals(t)) + offset, pa.int64())
         )
 
     sums = ray.get([block_sum.remote(r) for r in refs])
@@ -491,6 +517,12 @@ def grouped_quantiles(
     part of the training-data/telemetry extension surface."""
     keys = list(keys)
     qs = list(qs)
+    # %g keeps integral-percent labels unchanged (p50/p90/p99) and makes
+    # fractional percents distinct (0.995 → p99_5) instead of silently
+    # colliding on the rounded label
+    labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels: {labels}")
 
     hist = grouped_count(
         _mb(ds, lambda t: t.select(keys + [col]).filter(pc.is_valid(t[col])),
@@ -507,7 +539,9 @@ def grouped_quantiles(
     def pick(b: pa.Table) -> pa.Table:
         df = b.to_pandas().sort_values(keys + [col], kind="stable")
         rows = []
-        for kv, grp in df.groupby(keys, sort=False):
+        # dropna=False: null keys are groups here like in every pyarrow
+        # group_by in this module (and in the DuckDB oracle)
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
             c = grp["_cnt"].to_numpy()
             v = grp[col].to_numpy()
             cum = np.cumsum(c)
@@ -515,9 +549,9 @@ def grouped_quantiles(
             row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
             if count:
                 row[count] = n
-            for q in qs:
+            for q, lab in zip(qs, labels):
                 rank = min(max(math.ceil(q * n), 1), n)
-                row[f"p{int(round(q * 100))}"] = v[int(np.searchsorted(cum, rank))]
+                row[lab] = v[int(np.searchsorted(cum, rank))]
             rows.append(row)
         return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
@@ -608,12 +642,9 @@ def pivot_counts(
     def pivot_block(b: pa.Table) -> pa.Table:
         import pandas as pd
 
+        # no empty-batch branch: group_safe_map's gen() wrapper never calls
+        # the consumer on a zero-row batch
         df = b.to_pandas()
-        if df.empty:
-            return pa.table(
-                {row_key: pa.array([], b.schema.field(row_key).type)}
-                | {c: pa.array([], pa.int64()) for c in columns}
-            )
         wide = df.pivot_table(
             index=row_key, columns=col_key, values=value, aggfunc="sum", fill_value=0
         )
