@@ -207,7 +207,11 @@ def tokenize_distinct(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             for w in token_set(s):
                 ids.append(d)
                 words.append(w)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "w": words})
+        # explicit string type: a batch of only token-less docs would
+        # otherwise emit a null-typed 'w' column and poison the schema
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "w": pa.array(words, pa.string())}
+        )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -258,7 +262,15 @@ def minhash_signatures(
     ``with_token_hashes=True`` additionally emits each doc's sorted distinct
     raw token hashes as a binary blob (``th``, the ``doc_token_hashes``
     layout) — the verify stage's input — so the corpus is TOKENIZED ONCE for
-    both the signatures and the exact-Jaccard verify."""
+    both the signatures and the exact-Jaccard verify.
+
+    Arithmetic note: ``(a·h + b) mod p`` evaluates in uint64, so the product
+    WRAPS mod 2⁶⁴ before the mod-p reduction (a, h < 2⁶¹). The effective
+    hash family is ``((a·h + b) mod 2⁶⁴) mod p`` — deterministic, shared
+    verbatim with the SQL oracle's HUGEINT twin, but not strictly the
+    textbook min-wise-independent family, so the banding S-curve is an
+    approximation; precision is unaffected (the exact verify gates every
+    pair)."""
     a, b = _perm_params(n_perm)
     # chunk sized so the (n_perm × tokens) temporaries stay CACHE-resident:
     # 64 × 4096 × 8 B ≈ 2 MB. Measured on this box: the same arithmetic over
@@ -343,6 +355,20 @@ def lsh_buckets(signatures: "ray.data.Dataset", bands: int = LSH_BANDS):
         )
 
     return signatures.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tokened(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Drop token-less docs (empty ``th``) before LSH bucketing: they all
+    share the identical all-sentinel signature, so n of them pour into ONE
+    bucket per band — O(bands·n²) candidate pairs (a 100k-doc non-Latin or
+    punctuation-only slice would OOM the pair emitter) even though every
+    such pair verifies to jac=0 and can never pass a positive threshold.
+    Dropped docs still reach the output as singletons via the doc spine /
+    survivor mapping."""
+    return sigs.map_batches(
+        lambda t: t.filter(pc.greater(pc.binary_length(t["th"]), 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def doc_token_hashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -435,7 +461,16 @@ def verify_pairs(
         for i in range(n):
             x = np.frombuffer(a_th[i], dtype=np.uint64)
             y = np.frombuffer(b_th[i], dtype=np.uint64)
-            k = len(np.intersect1d(x, y, assume_unique=True))
+            # both blobs are stored SORTED — membership via searchsorted
+            # (O(m log n)), not intersect1d's concatenate-and-re-sort
+            if len(x) > len(y):
+                x, y = y, x
+            if len(y):
+                ix = np.searchsorted(y, x)
+                ix[ix == len(y)] = 0
+                k = int(np.count_nonzero(y[ix] == x))
+            else:
+                k = 0
             inter[i] = k
             union[i] = max(len(x) + len(y) - k, 1)
         return pa.table(
@@ -466,15 +501,18 @@ def minhash_near_dups(
     buckets (map_batches) → groupby(bucket) pair emission → DISTRIBUTED
     sort-merge verify (verify_pairs, which also dedupes the candidates).
     Precision is 1.0 by construction; recall follows the banding S-curve.
-    Returns pandas (pair results are small)."""
+    Returns pandas (pair results are small AFTER the distributed threshold
+    filter — sub-threshold candidates never reach the driver)."""
     sigs = minhash_signatures(docs, with_token_hashes=True).materialize()
-    buckets = lsh_buckets(sigs)
+    buckets = lsh_buckets(_tokened(sigs))
     cand = _pairs_from_buckets(buckets, "bucket", "doc_id")
-    verified = verify_pairs(cand, docs, th_ds=sigs).to_pandas()
+    verified = verify_pairs(cand, docs, th_ds=sigs).map_batches(
+        lambda t, th=threshold: t.filter(pc.greater_equal(t["jac"], th)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
     if len(verified) == 0:
         return pd.DataFrame(columns=["a_id", "b_id", "i", "u", "jac"])
-    out = verified[verified["jac"] >= threshold].sort_values(["a_id", "b_id"])
-    return out.reset_index(drop=True)
+    return verified.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
 CC_SINGLE_TASK_MAX_EDGES = 2_000_000
@@ -592,21 +630,24 @@ def _connected_components(
     )
 
     def emit(b: pa.Table) -> pa.Table:
+        # int64 all the way: nullable columns read via is_valid + fill_null
+        # (a to_numpy of a nullable int64 becomes float64, which silently
+        # corrupts ids ≥ 2^53)
         key = np.asarray(b["key"])
-        dst = b["dst"].to_numpy(zero_copy_only=False)
-        lab = b["label"].to_numpy(zero_copy_only=False)
+        is_lab = pc.is_valid(b["label"]).to_numpy(zero_copy_only=False)
+        dst = pc.fill_null(b["dst"], -1).to_numpy(zero_copy_only=False)
+        lab = pc.fill_null(b["label"], -1).to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
-        key, dst, lab = key[order], dst[order], lab[order]
-        is_lab = ~np.isnan(lab.astype(np.float64)) if lab.dtype != object else np.array([v is not None for v in lab])
+        key, dst, lab, is_lab = key[order], dst[order], lab[order], is_lab[order]
         new_grp = np.concatenate(([True], key[1:] != key[:-1]))
         gid = np.cumsum(new_grp) - 1
         # exactly one label row per key (labels covers every sym src)
         glab = np.full(gid[-1] + 1 if len(gid) else 0, -1, dtype=np.int64)
-        glab[gid[is_lab]] = lab[is_lab].astype(np.int64)
+        glab[gid[is_lab]] = lab[is_lab]
         per_row = glab[gid]
         e = ~is_lab
-        nodes = np.concatenate((dst[e].astype(np.int64), key[is_lab]))
-        labs = np.concatenate((per_row[e], lab[is_lab].astype(np.int64)))
+        nodes = np.concatenate((dst[e], key[is_lab]))
+        labs = np.concatenate((per_row[e], lab[is_lab]))
         return pa.table(
             {"node": pa.array(nodes, pa.int64()), "label": pa.array(labs, pa.int64())}
         )
@@ -616,6 +657,7 @@ def _connected_components(
         tag_schema,
     ).materialize()
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iter):
         tagged = tagged_edges.union(
             labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True)
@@ -624,8 +666,18 @@ def _connected_components(
         labels = combine_min(prop).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # propagation advances one hop per round; silently returning here
+        # would emit WRONG labels (split components) for a graph whose
+        # diameter exceeds max_iter — fail loud instead
+        raise RuntimeError(
+            f"label propagation did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the round budget); rerun "
+            "with a larger max_iter"
+        )
     return labels
 
 
@@ -678,7 +730,7 @@ def minhash_clusters_ds(
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
-    buckets = lsh_buckets(surv_sigs)
+    buckets = lsh_buckets(_tokened(surv_sigs))
 
     def edges_fn(b: pa.Table) -> pa.Table:
         bk = np.asarray(b["bucket"])
@@ -692,8 +744,12 @@ def minhash_clusters_ds(
             if e - s < 2:
                 continue
             mn = ids[s]  # sorted: min doc_id of the bucket
-            a_all.append(ids[s + 1 : e])
-            b_all.append(np.full(e - s - 1, mn, dtype=np.int64))
+            others = ids[s + 1 : e]
+            others = others[others != mn]  # cross-band collision → self-edge
+            if not len(others):
+                continue
+            a_all.append(others)
+            b_all.append(np.full(len(others), mn, dtype=np.int64))
         if not a_all:
             return pa.table(
                 {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
@@ -731,7 +787,14 @@ def minhash_clusters_ds(
     def as_cluster(t: pa.Table) -> pa.Table:
         return pa.table({"sdoc": t["node"], "cluster_id": t["label"]})
 
-    clustered = labels.map_batches(as_cluster, batch_format="pyarrow", zero_copy_batch=True)
+    from log_parser_ray.stages.aggregate import conform_schema
+
+    # conform: if every candidate edge fails the threshold, labels is an
+    # all-empty dataset whose schema-less blocks would poison the join union
+    clustered = conform_schema(
+        labels.map_batches(as_cluster, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("sdoc", pa.int64()), ("cluster_id", pa.int64())]),
+    )
 
     # one left-outer sort-merge join on the SURVIVOR id attaches each doc's
     # component label; survivors in no verified edge (and all their exact

@@ -639,3 +639,20 @@ def test_decontaminate_join_matches_broadcast(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tokenless_docs_no_candidate_explosion(ray_session):
+    """Token-less docs (punctuation-only / non-Latin under WORD_RE) share the
+    all-sentinel signature; they must be excluded from LSH bucketing (not
+    pour O(n²) jac=0 pairs through the verify) and still appear as
+    singletons in the cluster output."""
+    texts = ["???", "!!!", "...", "•••", BASE, NEAR]
+    ds = docs_ds(texts)
+    pairs = ddp.minhash_near_dups(ds, threshold=0.8)
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    assert got == {(4, 5)} or got == {(5, 4)}  # only the real near-dup pair
+    out = collect_clusters(ddp.minhash_clusters_ds(ds, threshold=0.8))
+    assert sorted(out["doc_id"]) == list(range(6))  # all docs labeled
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[4] == lab[5]
+    assert len({lab[0], lab[1], lab[2], lab[3]}) == 4  # singletons
