@@ -4,9 +4,9 @@ with per-partition lineage metrics.
 
     read_parquet(transcripts)                 # pruned scan
       → parse_dataset (stateless maps)       # grok/regex extract + sink column
-      → EnrichWriteProject (actor pool)      # broadcast lookups + sink write +
-                                             #   narrow projection, ONE fused
-                                             #   chain (parse maps fuse in)
+      → enrich_write_project (fused FUNCTION # broadcast lookups + sink write +
+        stage — NOT an actor pool, so it     #   narrow projection, ONE fused
+        fuses into the read tasks)           #   chain (parse maps fuse in)
       → materialize NARROW columns only      # text never enters the store
       → CONCURRENTLY from those blocks:      # driver threads; zero-copy reads
           aggregate suite (two-phase shuffles)  # per-sink counts, hourly, top-k
@@ -134,6 +134,15 @@ def run(
         ccs = f_ccs.result()
         hourly = f_hourly.result()
         topk_slow = f_topk.result()
+
+    import pandas as pd
+
+    if ccs.empty:
+        # an empty partition (a date slice matching no rows) yields
+        # column-less aggregate frames — normalize to the report schema
+        # instead of KeyError'ing on the missing group columns
+        ccs = pd.DataFrame(columns=["conv_id", "category", "sink", "n"])
+        hourly = pd.DataFrame(columns=["hour", "sink", "n"])
 
     sink_counts = ccs.groupby("sink", as_index=False)["n"].sum()
     conv_category = ccs.groupby(["conv_id", "category"], as_index=False)["n"].sum()

@@ -75,10 +75,11 @@ def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Ta
 
     key = (out_dir, clone_items)
     if _PARSE_CACHE[0] != key:
-        _PARSE_CACHE[0] = key
+        # construct first, publish after (see route._FUSED_CACHE)
         _PARSE_CACHE[1] = make_access_parser(
             dict(clone_items) if clone_items is not None else None
         )
+        _PARSE_CACHE[0] = key
     full = _PARSE_CACHE[1](batch)
     write_batch_sinks(full, out_dir)
     return full.select(NARROW_COLS)

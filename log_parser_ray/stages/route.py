@@ -38,10 +38,14 @@ def write_batch_sinks(batch, out_dir: str) -> None:
     (``out/sink=<s>/part-<fp>.parquet``), skipping the ``sink`` column inside
     the file (it is the partition key, matching write_parquet(partition_cols)).
 
-    Filenames are CONTENT-derived (rows + first/last (conv_id, turn_idx)), so
-    a Ray task retry rewrites the same file instead of duplicating rows —
-    the mv-commit idempotency of the reference (webAccessLogParser.sh:
-    1518-1557) at batch granularity."""
+    Filenames are CONTENT-derived (row count, boundary (conv_id, turn_idx)
+    rows incl. their text, and the turn-index sum), so a Ray task retry
+    rewrites the same file instead of duplicating rows — the mv-commit
+    idempotency of the reference (webAccessLogParser.sh:1518-1557) at batch
+    granularity; files land via tmp + os.replace so a mid-write crash never
+    leaves a truncated part at the final path. The ``sink`` column must be
+    TOTAL (non-null for every row) — enforced, since a null sink would
+    silently land in no partition."""
     import hashlib
     import os
 
@@ -52,11 +56,20 @@ def write_batch_sinks(batch, out_dir: str) -> None:
     if batch.num_rows == 0:
         return
     n = batch.num_rows
-    ident = (
-        f"{n}:{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
-        f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}"
+    h = hashlib.md5()
+    first_txt = batch["text"][0].as_py() if "text" in batch.column_names else ""
+    last_txt = batch["text"][n - 1].as_py() if "text" in batch.column_names else ""
+    turn_sum = pc.sum(batch["turn_idx"]).as_py() or 0
+    h.update(
+        (
+            f"{n}:{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
+            f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}:"
+            f"{turn_sum}:{first_txt}:{last_txt}"
+        ).encode("utf-8", "surrogatepass")
     )
-    fp = hashlib.md5(ident.encode()).hexdigest()[:16]
+    fp = h.hexdigest()[:16]
+    if pc.any(pc.is_null(batch["sink"])).as_py():
+        raise ValueError("write_batch_sinks: null sink value (routing must be total)")
     enc = batch["sink"].combine_chunks().dictionary_encode()
     body = batch.drop_columns(["sink"])
     for i, s in enumerate(enc.dictionary.to_pylist()):
@@ -70,8 +83,11 @@ def write_batch_sinks(batch, out_dir: str) -> None:
         # (tools/ceiling_probe.py): zstd (default) | snappy | none.
         comp = os.environ.get("GRAFT_SINK_COMPRESSION", "zstd")
         kw = {"compression_level": 1} if comp == "zstd" else {}
-        pq.write_table(sub, os.path.join(d, f"part-{fp}.parquet"),
+        final = os.path.join(d, f"part-{fp}.parquet")
+        tmp = os.path.join(d, f".tmp-part-{fp}.parquet")
+        pq.write_table(sub, tmp,
                        compression=None if comp == "none" else comp, **kw)
+        os.replace(tmp, final)
 
 
 class EnrichWriteProject:
@@ -121,21 +137,16 @@ def enrich_write_project(batch, *, out_dir: str, narrow_cols: tuple,
     ``__init__``, without forfeiting read fusion."""
     key = (out_dir, tuple(narrow_cols), tool_categories_ref, role_severities_ref)
     if _FUSED_CACHE[0] != key:
-        _FUSED_CACHE[0] = key
-        _FUSED_CACHE[1] = EnrichWriteProject(
+        # construct FIRST, publish the key after: a constructor exception
+        # (e.g. a transient ray.get in Enricher) must not leave the key
+        # pointing at a stale/None instance for the task retry
+        inst = EnrichWriteProject(
             out_dir, list(narrow_cols),
             tool_categories_ref=tool_categories_ref,
             role_severities_ref=role_severities_ref,
         )
+        _FUSED_CACHE[1] = inst
+        _FUSED_CACHE[0] = key
     return _FUSED_CACHE[1](batch)
 
 
-def sink_filter(ds: "ray.data.Dataset", sink: str) -> "ray.data.Dataset":
-    """One routed sink as a Dataset (vectorized Arrow filter, streams)."""
-    import pyarrow.compute as pc
-
-    return ds.map_batches(
-        lambda t: t.filter(pc.equal(t["sink"], sink)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
