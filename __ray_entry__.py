@@ -21,6 +21,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
@@ -144,13 +145,17 @@ def q_category_counts(sf_dir: str):
 
 
 def q_conv_error_alerts(sf_dir: str):
-    """J5 threshold alert join: conv error-sink count vs thresholds table."""
+    """J5 threshold alert join, fully distributed: conv error-sink count vs
+    thresholds table as a map_batches filter — the conv-keyed aggregate
+    never lands on the driver (round-3 verdict #1)."""
+    from log_parser_ray.stages.aggregate import threshold_alerts_ds
+
     th = THRESHOLDS["conv.errCntTh"]
     errs = grouped_count(
         _only_sink(_parsed(sf_dir), "errors"), ["conv_id"], alias="n"
-    ).to_pandas()
-    return threshold_alerts(errs, rule="conv.errCntTh", key_col="conv_id",
-                            value_col="n", threshold=th)
+    )
+    return threshold_alerts_ds(errs, rule="conv.errCntTh", key_col="conv_id",
+                               value_col="n", threshold=th)
 
 
 def q_hour_sink_pivot(sf_dir: str):
@@ -300,16 +305,28 @@ def q_tool_error_hour_join(sf_dir: str):
     """J3 hash join of two per-key aggregate streams on an exact composite
     key (mpmstats rdy⋈bsy, webErrorLogParser.sh:280-288): tool-turn counts
     LEFT JOIN error-turn counts per (conv_id, hour); missing side → 0."""
+    from log_parser_ray.stages.aggregate import merge_join
+
     parsed = _parsed(sf_dir)
     tools = grouped_count(
         _keep(parsed, "tool_name"), ["conv_id", "hour"], alias="n_tools"
-    ).to_pandas()
+    )
     errors = grouped_count(
         _keep(parsed, "error_code"), ["conv_id", "hour"], alias="n_errors"
-    ).to_pandas()
-    out = tools.merge(errors, on=["conv_id", "hour"], how="left")
-    out["n_errors"] = out["n_errors"].fillna(0).astype("int64")
-    return out
+    )
+    key_ty = [("conv_id", pa.string()), ("hour", pa.int32())]
+    joined = merge_join(
+        tools, errors, on=["conv_id", "hour"], how="left_outer",
+        left_schema=pa.schema(key_ty + [("n_tools", pa.int64())]),
+        right_schema=pa.schema(key_ty + [("n_errors", pa.int64())]),
+    )
+    return joined.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_errors"), "n_errors",
+            pc.fill_null(t["n_errors"], 0),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def q_reassembled_sessions(sf_dir: str):

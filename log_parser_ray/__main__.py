@@ -106,7 +106,7 @@ def main(argv=None) -> int:
                     "sink_counts": dict(
                         zip(res["sink_counts"]["sink"], map(int, res["sink_counts"]["n"]))
                     ),
-                    "n_alerts": int(len(res["alerts"])),
+                    "n_alerts": int(res["alerts"].count()),
                 },
                 sort_keys=True,
             )

@@ -31,7 +31,8 @@ import ray.data
 from log_parser_ray.schema import THRESHOLDS
 from log_parser_ray.stages.aggregate import (
     grouped_count,
-    threshold_alerts,
+    grouped_stats,
+    threshold_alerts_ds,
     top_k,
 )
 from log_parser_ray.stages.enrich import enrich_dataset
@@ -105,17 +106,23 @@ def run(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    import pandas as pd
+    import pyarrow as pa
+
     # Three shuffles cover the five reports (SURVEY §7.5 "very wide aggregate
     # inventory — fuse same-key aggs into shared shuffles"): the
     # (conv_id, category, sink) count is the common refinement from which
     # conv_category, errors-per-conv and sink_counts all derive by summing
-    # out a column — post-aggregate tables the flagship collects to pandas
-    # anyway, so the derivation is driver-side on already-small data.
+    # out a column. Conv-keyed tables STAY DISTRIBUTED — at 10¹² turns the
+    # conv_id cardinality is ~10⁹, so a (conv_id, …) table is tens of GB and
+    # never belongs on the driver (round-3 verdict #1); only the genuinely
+    # bounded frames are collected (sink counts: ≤ #sinks rows; hourly:
+    # ≤ 24 × #sinks; top-k: 10).
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_ccs = ex.submit(
             lambda: grouped_count(
                 narrow, ["conv_id", "category", "sink"], alias="n"
-            ).to_pandas()
+            ).materialize()
         )
         f_hourly = ex.submit(
             lambda: grouped_count(narrow, ["hour", "sink"], alias="n").to_pandas()
@@ -135,48 +142,80 @@ def run(
         hourly = f_hourly.result()
         topk_slow = f_topk.result()
 
-    import pandas as pd
+    from log_parser_ray.stages.aggregate import ALERT_SCHEMA
 
-    if ccs.empty:
+    if ccs.count() == 0:
         # an empty partition (a date slice matching no rows) yields
-        # column-less aggregate frames — normalize to the report schema
-        # instead of KeyError'ing on the missing group columns
-        ccs = pd.DataFrame(columns=["conv_id", "category", "sink", "n"])
+        # schema-less empty aggregates — normalize every report to its
+        # schema instead of KeyError'ing downstream
+        sink_counts = pd.DataFrame(columns=["sink", "n"])
         hourly = pd.DataFrame(columns=["hour", "sink", "n"])
+        conv_category = ray.data.from_arrow(
+            pa.schema([("conv_id", pa.string()), ("category", pa.string()),
+                       ("n", pa.int64())]).empty_table()
+        )
+        alerts = ray.data.from_arrow(ALERT_SCHEMA.empty_table())
+    else:
+        # bounded collect: one row per sink
+        sink_counts = (
+            grouped_stats(ccs, ["sink"], "n", count=None, sum_="n")
+            .to_pandas()
+            .sort_values("sink")
+            .reset_index(drop=True)
+        )
+        # conv-keyed derivations: post-aggregate shuffles over the (already
+        # combined) count table; conv_category remains a lazy Dataset over
+        # the materialized ccs blocks
+        conv_category = grouped_stats(ccs, ["conv_id", "category"], "n",
+                                      count=None, sum_="n")
+        errors_per_conv = grouped_stats(
+            ccs.map_batches(
+                lambda t: t.filter(pc.equal(t["sink"], "errors")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            ["conv_id"], "n", count=None, sum_="n",
+        )
 
-    sink_counts = ccs.groupby("sink", as_index=False)["n"].sum()
-    conv_category = ccs.groupby(["conv_id", "category"], as_index=False)["n"].sum()
-    errors_per_conv = (
-        ccs[ccs["sink"] == "errors"].groupby("conv_id", as_index=False)["n"].sum()
-    )
+        # J5 as a distributed filter: alert rows are produced inside
+        # map_batches against the closure threshold and land in an alerts/
+        # parquet sink — the reference streams alerts to a file
+        # (websphereLogParser.sh:345-379)
+        alerts = threshold_alerts_ds(
+            errors_per_conv,
+            rule="conv.errCntTh",
+            key_col="conv_id",
+            value_col="n",
+            threshold=THRESHOLDS["conv.errCntTh"],
+        ).materialize()
+        if alerts.count() > 0:
+            alerts.write_parquet(f"{out_dir}/alerts")
+        else:
+            alerts = ray.data.from_arrow(ALERT_SCHEMA.empty_table())
 
-    alerts = threshold_alerts(
-        errors_per_conv,
-        rule="conv.errCntTh",
-        key_col="conv_id",
-        value_col="n",
-        threshold=THRESHOLDS["conv.errCntTh"],
-    )
-
-    rows = int(sink_counts["n"].sum())
+    rows = int(sink_counts["n"].sum()) if len(sink_counts) else 0
     result = {
         "out_dir": out_dir,
-        "sink_counts": sink_counts.sort_values("sink").reset_index(drop=True),
-        "conv_category": conv_category.sort_values(["conv_id", "category"]).reset_index(drop=True),
+        "sink_counts": sink_counts,
+        "conv_category": conv_category,
         "hourly": hourly.sort_values(["hour", "sink"]).reset_index(drop=True),
         "topk_slow": topk_slow,
-        "alerts": alerts.sort_values("key").reset_index(drop=True) if len(alerts) else alerts,
+        "alerts": alerts,
         "rows": rows,
     }
 
     if history_root is not None and run_date is not None:
         # IO5: append this run's summary rows to the long-lived history
-        # sinks, idempotently per date (a rerun of the same day replaces it)
+        # sinks, idempotently per date (a rerun of the same day replaces it).
+        # The alert collect here is the bounded contract edge: history rows
+        # are exceedances, not per-key aggregates.
         from log_parser_ray.state.history import append_history
 
+        alerts_df = (
+            alerts.to_pandas().sort_values("key").reset_index(drop=True)
+        )
         append_history(history_root, "sink_counts", run_date, result["sink_counts"])
         append_history(history_root, "hourly", run_date, result["hourly"])
-        append_history(history_root, "alerts", run_date, result["alerts"])
+        append_history(history_root, "alerts", run_date, alerts_df)
 
     if manifest is not None:
         manifest.append(

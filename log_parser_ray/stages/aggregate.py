@@ -683,3 +683,47 @@ def threshold_alerts(
             "threshold": float(threshold),
         }
     )
+
+
+ALERT_SCHEMA = pa.schema(
+    [
+        ("rule", pa.string()),
+        ("key", pa.string()),
+        ("value", pa.float64()),
+        ("threshold", pa.float64()),
+    ]
+)
+
+
+def threshold_alerts_ds(
+    agg: "ray.data.Dataset",
+    *,
+    rule: str,
+    key_col: str,
+    value_col: str,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Distributed J5: the threshold filter as a ``map_batches`` over the
+    (already-distributed) aggregate Dataset — the reference streams alert
+    lines to a sink file as it scans its per-key arrays
+    (websphereLogParser.sh:345-379); nothing about the rule needs the rows
+    on the driver. The threshold is a closure constant (shipped once per
+    task by serialization), the filter is vectorized, and the output stays
+    a Dataset — collect only at contract/report edges, where the alert set
+    is bounded by the exceedance count, not the key cardinality."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        hits = t.filter(
+            pc.fill_null(pc.greater(t[value_col], threshold), False)
+        )
+        n = hits.num_rows
+        return pa.table(
+            {
+                "rule": pa.array([rule] * n, pa.string()),
+                "key": pc.cast(hits[key_col], pa.string()),
+                "value": pc.cast(hits[value_col], pa.float64()),
+                "threshold": pa.array([float(threshold)] * n, pa.float64()),
+            }
+        )
+
+    return _mb(agg, fn)

@@ -251,6 +251,7 @@ def jaccard_pairs(
 def minhash_signatures(
     docs: "ray.data.Dataset", n_perm: int = N_PERM, batch_size: int = 4096,
     *, with_token_hashes: bool = False, with_fingerprint: bool = False,
+    with_quality: bool = False,
 ):
     """(doc_id, sig: fixed_size_list<uint64>[n_perm]) — batch-vectorized.
 
@@ -319,6 +320,23 @@ def minhash_signatures(
             from log_parser_ray.stages.textops import md5_hex
 
             cols["fp"] = pa.array(md5_hex(texts), pa.string())
+        if with_quality:
+            # curation's quality metrics ride the SAME batch (single-scan
+            # curation, round-3 verdict #2) — kernels identical to
+            # textops.quality_stats so the SQL twin is unchanged
+            from log_parser_ray.stages.textops import STOP_RE
+
+            low = pc.utf8_lower(t["text"])
+            n_words = pc.count_substring_regex(low, WORD_RE)
+            n_stop = pc.count_substring_regex(low, STOP_RE)
+            cols["n_words"] = pc.cast(n_words, pa.int64())
+            cols["stop_ratio"] = pc.round(
+                pc.divide(
+                    pc.cast(n_stop, pa.float64()),
+                    pc.max_element_wise(pc.cast(n_words, pa.float64()), 1.0),
+                ),
+                ndigits=6,
+            )
         return pa.table(cols)
 
     return docs.map_batches(
@@ -683,6 +701,7 @@ def _connected_components(
 
 def minhash_clusters_ds(
     docs: "ray.data.Dataset", threshold: float = 0.9,
+    *, with_quality: bool = False,
 ) -> "ray.data.Dataset":
     """Scalable MinHash-LSH dedup: near-dup CLUSTERS as a Dataset.
 
@@ -707,11 +726,21 @@ def minhash_clusters_ds(
     unchanged: exact copies share every band bucket, so LSH-over-all-docs
     connects them to exactly the components their survivor joins, and
     cluster_id = component-min doc id either way — the SQL oracle
-    (LSH over all docs) therefore still matches value-for-value."""
+    (LSH over all docs) therefore still matches value-for-value.
+
+    ``with_quality=True`` additionally carries each doc's (sdoc, n_words,
+    stop_ratio) into the output — computed in the SAME tokenize batch as the
+    signatures, so curation needs exactly ONE scan of the corpus (round-3
+    verdict #2): sdoc != doc_id is the exact-dup flag, cluster_id != doc_id
+    the near-dup flag, and the quality columns decide kept/low_quality."""
+    extras = ["n_words", "stop_ratio"] if with_quality else []
 
     # lazy: group_safe_map materializes its input, so the (sig, th, fp)
     # table is pinned ONCE (as `mapped`), not twice
-    sigs = minhash_signatures(docs, with_token_hashes=True, with_fingerprint=True)
+    sigs = minhash_signatures(
+        docs, with_token_hashes=True, with_fingerprint=True,
+        with_quality=with_quality,
+    )
 
     # one sort on fp: attach sdoc = min doc_id of each identical-text group
     def attach_sdoc(b: pa.Table) -> pa.Table:
@@ -722,7 +751,7 @@ def minhash_clusters_ds(
     from log_parser_ray.stages.aggregate import group_safe_map
 
     mapped = group_safe_map(sigs, ["fp"], attach_sdoc).materialize()
-    mapping = mapped.select_columns(["doc_id", "sdoc"])
+    mapping = mapped.select_columns(["doc_id", "sdoc"] + extras)
     surv_sigs = mapped.map_batches(
         lambda t: t.filter(pc.equal(t["doc_id"], t["sdoc"])).select(
             ["doc_id", "sig", "th"]
@@ -764,7 +793,12 @@ def minhash_clusters_ds(
     from log_parser_ray.stages.aggregate import merge_join, with_group_size
 
     def self_cluster(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"], "cluster_id": t["sdoc"]})
+        cols = {"doc_id": t["doc_id"], "cluster_id": t["sdoc"]}
+        if with_quality:
+            cols["sdoc"] = t["sdoc"]
+            for c in extras:
+                cols[c] = t[c]
+        return pa.table(cols)
 
     raw_edges = group_safe_map(buckets, ["bucket"], edges_fn).materialize()
     if raw_edges.count() == 0:
@@ -800,17 +834,26 @@ def minhash_clusters_ds(
     # component label; survivors in no verified edge (and all their exact
     # copies) fall back to the survivor id — which IS the component minimum
     # for a pure exact-dup group
+    extra_fields = [("n_words", pa.int64()), ("stop_ratio", pa.float64())] if with_quality else []
     withlab = merge_join(
         mapping, clustered, on="sdoc", how="left_outer",
-        left_schema=pa.schema([("doc_id", pa.int64()), ("sdoc", pa.int64())]),
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("sdoc", pa.int64())] + extra_fields
+        ),
         right_schema=pa.schema([("sdoc", pa.int64()), ("cluster_id", pa.int64())]),
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"],
+                "cluster_id": pc.coalesce(t["cluster_id"], t["sdoc"])}
+        if with_quality:
+            cols["sdoc"] = t["sdoc"]
+            for c in extras:
+                cols[c] = t[c]
+        return pa.table(cols)
+
     all_lab = withlab.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"],
-             "cluster_id": pc.coalesce(t["cluster_id"], t["sdoc"])}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+        finish, batch_format="pyarrow", zero_copy_batch=True,
     )
 
     # window count(*) over cluster_id in one sort pass — replaces
