@@ -148,14 +148,21 @@ def q_conv_error_alerts(sf_dir: str):
     """J5 threshold alert join, fully distributed: conv error-sink count vs
     thresholds table as a map_batches filter — the conv-keyed aggregate
     never lands on the driver (round-3 verdict #1)."""
-    from log_parser_ray.stages.aggregate import threshold_alerts_ds
+    from log_parser_ray.stages.aggregate import (
+        ALERT_SCHEMA,
+        conform_schema,
+        threshold_alerts_ds,
+    )
 
     th = THRESHOLDS["conv.errCntTh"]
     errs = grouped_count(
         _only_sink(_parsed(sf_dir), "errors"), ["conv_id"], alias="n"
     )
-    return threshold_alerts_ds(errs, rule="conv.errCntTh", key_col="conv_id",
-                               value_col="n", threshold=th)
+    return conform_schema(
+        threshold_alerts_ds(errs, rule="conv.errCntTh", key_col="conv_id",
+                            value_col="n", threshold=th),
+        ALERT_SCHEMA,
+    )
 
 
 def q_hour_sink_pivot(sf_dir: str):
@@ -720,6 +727,81 @@ def q_was_recycles(sf_dir: str):
     return recycle_events(q_was_parsed_rows(sf_dir))
 
 
+def q_was_event_alerts(sf_dir: str):
+    """Per-family J5 (websphereLogParser.sh:345-379): per-(server, evtType)
+    counts vs the `was.<srvPrefix3>.was{E,W,F}CntTh` rules from
+    FAMILY_THRESHOLDS. The count is the distributed two-phase pass; the rule
+    join runs on the collected per-server frame (bounded by #servers ×
+    #eventTypes — the reference prints exactly this set)."""
+    from log_parser_ray.pipelines.reports import _prefix_alerts
+
+    parsed = q_was_parsed_rows(sf_dir)
+    nonx = parsed.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t["evt_type"], value_set=pa.array(["I", "A"])))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    counts = grouped_count(nonx, ["srv", "evt_type"], alias="cnt").to_pandas()
+    frames = [
+        _prefix_alerts(counts[counts["evt_type"] == evt], family="was",
+                       prop=prop, key_col="srv", value_col="cnt")
+        for evt, prop in (("E", "wasECntTh"), ("W", "wasWCntTh"),
+                          ("F", "wasFCntTh"))
+    ]
+    frames = [f for f in frames if len(f)]
+    out = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["rule", "key", "value", "threshold"])
+    )
+    return out.sort_values(["rule", "key"]).reset_index(drop=True)
+
+
+def q_gc_daily_alerts(sf_dir: str):
+    """Per-family J5 for GC (javaGCStatsParser.sh:474-489): per-jvm minor /
+    full GC counts vs `jvm.<prefix3>.gcDlyCountTh` / `.fgcDlyCountTh`."""
+    from log_parser_ray.pipelines.reports import _prefix_alerts
+
+    rows = q_gc_parsed_rows(sf_dir)
+
+    def split(t):
+        f = pc.cast(pc.not_equal(t["gc_type"], "GC"), pa.int64())
+        return pa.table(
+            {"jvm": t["jvm"], "fgccnt": f, "gccnt": pc.subtract(1, f)}
+        )
+
+    wide = rows.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    # both sums through ONE shared shuffle
+    from log_parser_ray.stages.aggregate import (
+        COMBINE_ROWS,
+        _mb,
+        _partial,
+        sorted_combine,
+    )
+
+    part = _mb(wide, _partial(["jvm"], [("gccnt", "sum"), ("fgccnt", "sum")]),
+               batch_size=COMBINE_ROWS)
+    counts = sorted_combine(
+        part, ["jvm"], [("gccnt_sum", "sum"), ("fgccnt_sum", "sum")],
+        renames={"gccnt_sum_sum": "gccnt", "fgccnt_sum_sum": "fgccnt"},
+        keep=["jvm", "gccnt", "fgccnt"],
+    ).to_pandas()
+    frames = [
+        _prefix_alerts(counts, family="jvm", prop="gcDlyCountTh",
+                       key_col="jvm", value_col="gccnt"),
+        _prefix_alerts(counts, family="jvm", prop="fgcDlyCountTh",
+                       key_col="jvm", value_col="fgccnt"),
+    ]
+    frames = [x for x in frames if len(x)]
+    out = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["rule", "key", "value", "threshold"])
+    )
+    return out.sort_values(["rule", "key"]).reset_index(drop=True)
+
+
 def q_gc_threshold_exceeds(sf_dir: str):
     """A21: per jvm, count of full GCs leaving old-gen usage above the
     threshold (javaGCStatsParser.sh:474-489)."""
@@ -1135,6 +1217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": q_winnow_overlap,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         # ---- driver window (50) ends here ----
+        "was_event_alerts": q_was_event_alerts,
+        "gc_daily_alerts": q_gc_daily_alerts,
         "decontaminate_join": q_decontaminate_join,
         "repetition_stats": q_repetition_stats,
         "errlog_referrer_ranking": q_errlog_referrer_ranking,
@@ -1388,6 +1472,11 @@ def oracle_sql() -> dict[str, str]:
     GM = "WITH " + GC_MULTI_TRUTH_CTE + "\n"
     W = "WITH " + WAS_TRUTH_CTE + "\n"
     th = THRESHOLDS["conv.errCntTh"]
+    from log_parser_ray.schema import FAMILY_THRESHOLDS
+
+    _FAMILY_TH_VALUES = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(FAMILY_THRESHOLDS.items())
+    )
     pivot_cols = ", ".join(
         f"CAST(SUM(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
         for s in SINKS
@@ -1704,6 +1793,37 @@ def oracle_sql() -> dict[str, str]:
         "was_recycles": W
         + """SELECT line_id, split_part(dtm, ' ', 1) AS dt, dtm, srv
              FROM was_truth WHERE msg_id = 'WSVR0001I'""",
+        "was_event_alerts": W
+        + f""", th(rule, th) AS (SELECT * FROM (VALUES {_FAMILY_TH_VALUES})),
+             counts AS (
+               SELECT srv, evt_type, COUNT(*) AS cnt FROM was_truth
+               WHERE evt_type NOT IN ('I', 'A') GROUP BY srv, evt_type),
+             rules AS (
+               SELECT 'was.' || substr(srv, 1, 3) || '.' ||
+                        CASE evt_type WHEN 'E' THEN 'wasECntTh'
+                             WHEN 'W' THEN 'wasWCntTh'
+                             WHEN 'F' THEN 'wasFCntTh' END AS rule,
+                      srv AS key, CAST(cnt AS DOUBLE) AS value
+               FROM counts WHERE evt_type IN ('E', 'W', 'F'))
+             SELECT r.rule, r.key, r.value, t.th AS threshold
+             FROM rules r JOIN th t ON r.rule = t.rule
+             WHERE r.value > t.th""",
+        "gc_daily_alerts": G
+        + f""", th(rule, th) AS (SELECT * FROM (VALUES {_FAMILY_TH_VALUES})),
+             counts AS (
+               SELECT jvm,
+                      SUM(CASE WHEN gc_type = 'GC' THEN 1 ELSE 0 END) AS gccnt,
+                      SUM(CASE WHEN gc_type <> 'GC' THEN 1 ELSE 0 END) AS fgccnt
+               FROM gc_truth GROUP BY jvm),
+             rules AS (
+               SELECT 'jvm.' || substr(jvm, 1, 3) || '.gcDlyCountTh' AS rule,
+                      jvm AS key, CAST(gccnt AS DOUBLE) AS value FROM counts
+               UNION ALL
+               SELECT 'jvm.' || substr(jvm, 1, 3) || '.fgcDlyCountTh',
+                      jvm, CAST(fgccnt AS DOUBLE) FROM counts)
+             SELECT r.rule, r.key, r.value, t.th AS threshold
+             FROM rules r JOIN th t ON r.rule = t.rule
+             WHERE r.value > t.th""",
         # --- training-data ops: shared RE2 patterns with the Ray stages ---
         "winnow_fingerprints": sketch.winnow_oracle_sql(),
         "winnow_overlap": sketch.winnow_overlap_oracle_sql(min_shared=3),

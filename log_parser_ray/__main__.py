@@ -29,6 +29,17 @@ def main(argv=None) -> int:
                      "applicable parser family (masterLogParser.sh analogue)")
     ap.add_argument("--file-pattern", default=None,
                     help="--raw-logs: substring filter on file names (date-rotation predicate)")
+    ap.add_argument("--record-date", default=None, metavar="YYYY-MM-DD",
+                    help="the reference's `-d recorddate` (usage.sh:121-135): "
+                         "filter input to that date — a pushed-down ts "
+                         "predicate at the parquet read — and key the daily "
+                         "history append")
+    ap.add_argument("--rpttype", choices=["daily", "ondemand"], default="ondemand",
+                    help="the reference's `-t`: daily additionally appends "
+                         "this run's summary rows to the date-partitioned "
+                         "history sinks, idempotently per --record-date")
+    ap.add_argument("--history-root", default=None,
+                    help="history sink root (default: <out>/history)")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
                     help="resumable per-input-range run with lineage manifest "
@@ -48,10 +59,19 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    daily = args.rpttype == "daily"
+    if daily and not args.record_date:
+        ap.error("--rpttype daily requires --record-date")
+    history_root = args.history_root or (args.out.rstrip("/") + "/history")
+
     if args.master_logs:
         from log_parser_ray.pipelines import master
 
-        results = master.run(args.master_logs, args.out)
+        results = master.run(
+            args.master_logs, args.out,
+            record_date=args.record_date, rpt_type=args.rpttype,
+            history_root=history_root if daily else None,
+        )
         print(json.dumps({"families": results}, sort_keys=True))
         return 0
 
@@ -66,18 +86,50 @@ def main(argv=None) -> int:
         }, sort_keys=True))
         return 0
 
+    # --record-date → ts ∈ [date, date+1d) predicate, PUSHED DOWN to the
+    # parquet scan (row-group pruning) where the source is parquet; raw text
+    # logs filter post-read (their date predicate is the file pattern, IO1)
+    ts_filter = None
+    if args.record_date:
+        import datetime as _dt
+
+        import pyarrow.dataset as pads
+
+        d0 = _dt.datetime.fromisoformat(args.record_date)
+        d1 = d0 + _dt.timedelta(days=1)
+        ts_filter = (pads.field("ts") >= d0) & (pads.field("ts") < d1)
+
     if args.input:
         from log_parser_ray.sources.transcripts import read_transcripts
 
-        transcripts = read_transcripts(args.input)
+        transcripts = read_transcripts(
+            args.input, **({"filter": ts_filter} if ts_filter is not None else {})
+        )
     elif args.raw_logs:
         from log_parser_ray.sources.rawlogs import read_raw_logs
 
         transcripts = read_raw_logs(args.raw_logs, file_pattern=args.file_pattern)
+        if ts_filter is not None:
+            import pyarrow.compute as _pc
+
+            lo, hi = d0, d1
+
+            def _date_filter(t, lo=lo, hi=hi):
+                import pyarrow as _pa
+
+                keep = _pc.and_(
+                    _pc.greater_equal(t["ts"], _pa.scalar(lo, _pa.timestamp("us"))),
+                    _pc.less(t["ts"], _pa.scalar(hi, _pa.timestamp("us"))),
+                )
+                return t.filter(keep)
+
+            transcripts = transcripts.map_batches(
+                _date_filter, batch_format="pyarrow", zero_copy_batch=True
+            )
     else:
         from log_parser_ray.sources.transcripts import transcripts_from_events
 
-        transcripts = transcripts_from_events(args.events_sf)
+        transcripts = transcripts_from_events(args.events_sf, filter=ts_filter)
 
     if args.partitioned:
         if not args.events_sf:
@@ -96,7 +148,9 @@ def main(argv=None) -> int:
         from log_parser_ray.pipelines import flagship
 
         res = flagship.run(
-            transcripts, args.out, enrich_concurrency=args.enrich_concurrency
+            transcripts, args.out, enrich_concurrency=args.enrich_concurrency,
+            history_root=history_root if daily else None,
+            run_date=args.record_date if daily else None,
         )
         print(
             json.dumps(

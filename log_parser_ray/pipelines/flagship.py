@@ -142,6 +142,31 @@ def run(
         hourly = f_hourly.result()
         topk_slow = f_topk.result()
 
+    # GRAFT_NARROW_DICT probe lever: the narrow blocks carry int8 CODES for
+    # sink/category (route.EnrichWriteProject); decode once on the tiny
+    # post-aggregate tables so every downstream report is unchanged
+    sch = ccs.schema()
+    if sch is not None and "sink" in sch.names and pa.types.is_integer(
+        sch.base_schema.field("sink").type
+    ):
+        from log_parser_ray.stages.route import CATEGORY_ORDER, SINK_ORDER
+
+        def _decode(t: pa.Table) -> pa.Table:
+            for c, order in (("sink", SINK_ORDER), ("category", CATEGORY_ORDER)):
+                i = t.column_names.index(c)
+                t = t.set_column(
+                    i, c,
+                    pc.take(pa.array(order, pa.string()),
+                            pc.cast(t[c], pa.int32())),
+                )
+            return t
+
+        ccs = ccs.map_batches(
+            _decode, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if "sink" in hourly.columns:
+            hourly["sink"] = hourly["sink"].map(dict(enumerate(SINK_ORDER)))
+
     from log_parser_ray.stages.aggregate import ALERT_SCHEMA
 
     if ccs.count() == 0:
@@ -180,17 +205,22 @@ def run(
         # map_batches against the closure threshold and land in an alerts/
         # parquet sink — the reference streams alerts to a file
         # (websphereLogParser.sh:345-379)
-        alerts = threshold_alerts_ds(
-            errors_per_conv,
-            rule="conv.errCntTh",
-            key_col="conv_id",
-            value_col="n",
-            threshold=THRESHOLDS["conv.errCntTh"],
-        ).materialize()
+        from log_parser_ray.stages.aggregate import conform_schema
+
+        # conform_schema: a map task that emits no alert rows leaves a
+        # schema-less empty block that would poison the collected frame
+        alerts = conform_schema(
+            threshold_alerts_ds(
+                errors_per_conv,
+                rule="conv.errCntTh",
+                key_col="conv_id",
+                value_col="n",
+                threshold=THRESHOLDS["conv.errCntTh"],
+            ),
+            ALERT_SCHEMA,
+        )
         if alerts.count() > 0:
             alerts.write_parquet(f"{out_dir}/alerts")
-        else:
-            alerts = ray.data.from_arrow(ALERT_SCHEMA.empty_table())
 
     rows = int(sink_counts["n"].sum()) if len(sink_counts) else 0
     result = {
@@ -210,9 +240,11 @@ def run(
         # are exceedances, not per-key aggregates.
         from log_parser_ray.state.history import append_history
 
-        alerts_df = (
-            alerts.to_pandas().sort_values("key").reset_index(drop=True)
-        )
+        alerts_df = alerts.to_pandas()
+        if alerts_df.empty:
+            # Ray's to_pandas drops the schema of an all-empty dataset
+            alerts_df = pd.DataFrame(columns=[f.name for f in ALERT_SCHEMA])
+        alerts_df = alerts_df.sort_values("key").reset_index(drop=True)
         append_history(history_root, "sink_counts", run_date, result["sink_counts"])
         append_history(history_root, "hourly", run_date, result["hourly"])
         append_history(history_root, "alerts", run_date, alerts_df)

@@ -38,10 +38,32 @@ def _has_files(root: str, pattern: str) -> bool:
     return any(pattern in n for n in os.listdir(root))
 
 
-def run(log_dir: str, out_dir: str) -> dict:
+def run(
+    log_dir: str,
+    out_dir: str,
+    *,
+    record_date: str | None = None,
+    rpt_type: str = "ondemand",
+    history_root: str | None = None,
+) -> dict:
     """Run every applicable parser family over ``log_dir``; returns
-    {family: rows}."""
+    {family: rows}.
+
+    ``rpt_type="daily"`` (the reference's `-t daily`, usage.sh:121-135)
+    additionally appends each family's daily summary rows to the
+    date-partitioned history sinks under ``history_root`` (defaults to
+    ``out_dir``/history), keyed by ``record_date`` — idempotent per date,
+    so a rerun of the same day replaces rather than double-appends."""
+    import pandas as pd
+
     from log_parser_ray.pipelines import weblog
+    from log_parser_ray.pipelines.reports import (
+        gc_summary_tables,
+        render_gc_summary,
+        render_was_summary,
+        was_summary_tables,
+        _prefix_alerts,
+    )
     from log_parser_ray.sources.rawlogs import read_raw_logs
     from log_parser_ray.stages.errorlog import parse_error_lines, parse_mpmstats
     from log_parser_ray.stages.gclog import parse_gc_lines
@@ -50,6 +72,16 @@ def run(log_dir: str, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     manifest = RunManifest(out_dir)
     results: dict[str, int] = {}
+    all_alerts: list["pd.DataFrame"] = []
+    daily = rpt_type == "daily" and record_date is not None
+    if daily and history_root is None:
+        history_root = os.path.join(out_dir, "history")
+
+    def hist(report: str, rows) -> None:
+        if daily and len(rows):
+            from log_parser_ray.state.history import append_history
+
+            append_history(history_root, report, record_date, rows)
 
     def lines_for(pattern: str) -> "ray.data.Dataset":
         ds = read_raw_logs(log_dir, file_pattern=pattern)
@@ -79,8 +111,12 @@ def run(log_dir: str, out_dir: str) -> dict:
 
     if _has_files(log_dir, FAMILIES["access"]):
         t0 = time.perf_counter()
-        res = weblog.run(log_dir, os.path.join(out_dir, "access"),
-                         file_pattern=FAMILIES["access"])
+        res = weblog.run(
+            log_dir, os.path.join(out_dir, "access"),
+            file_pattern=FAMILIES["access"],
+            history_root=history_root if daily else None,
+            run_date=record_date if daily else None,
+        )
         record("access", int(res["hourly"]["irc"].sum()), t0)
 
     if _has_files(log_dir, FAMILIES["error"]):
@@ -116,6 +152,20 @@ def run(log_dir: str, out_dir: str) -> dict:
                 os.path.join(out_dir, "error", "WebErrorLogMpmStatsRpt_all.csv"),
                 index=False,
             )
+            # per-server daily max-bsy record → date-partitioned history
+            # (the reference's mpmstats history append,
+            # webErrorLogParser.sh:361-379)
+            hist("mpmstats_daily_max", mx)
+            all_alerts.append(_prefix_alerts(
+                mx, family="http", prop="httpMpmStBsyCountTh",
+                key_col="srv", value_col="bsy"))
+        if errs.count() > 0:
+            from log_parser_ray.stages.aggregate import grouped_count
+
+            err_by_srv = grouped_count(errs, ["srv"], alias="cnt").to_pandas()
+            all_alerts.append(_prefix_alerts(
+                err_by_srv, family="http", prop="httpErrorCountTh",
+                key_col="srv", value_col="cnt"))
         record("error", int(errs.count()), t0)
 
     if _has_files(log_dir, FAMILIES["was"]):
@@ -123,6 +173,18 @@ def run(log_dir: str, out_dir: str) -> dict:
         parsed = parse_was_lines(lines_for(FAMILIES["was"])).materialize()
         parsed.write_parquet(os.path.join(out_dir, "was", "rows"))
         tto_correlate(parsed).write_parquet(os.path.join(out_dir, "was", "tto"))
+        # 01_WASLogSummaryRpt: the reference's top-10×8-dimension summary
+        # plus hung/tto/starvation/OOM sections, rendered from the same
+        # distributed aggregates (websphereLogParser.sh:440-900)
+        wt = was_summary_tables(parsed)
+        with open(os.path.join(out_dir, "was",
+                               "01_WASLogSummaryRpt.txt"), "w") as fh:
+            fh.write(render_was_summary(wt, record_date=record_date or ""))
+        all_alerts.append(wt["alerts"])
+        # daily history: hung-thread per-server summary + tto daily total
+        # (websphereLogParser.sh:68-89 history files)
+        hist("was_hung_threads", wt["hung_summary"])
+        hist("was_tto_by_jvm", wt["tto_by_jvm"])
         record("was", int(parsed.count()), t0)
 
     if _has_files(log_dir, FAMILIES["gc"]):
@@ -141,6 +203,26 @@ def run(log_dir: str, out_dir: str) -> dict:
         n_inv = int(inv.count())
         if n_inv:
             inv.write_parquet(os.path.join(out_dir, "gc", "invocations"))
+        # 04_GCSummaryRpt: per-(jvm, date) × type aggregate + last record
+        # per JVM (javaGCStatsParser.sh:455-541,556-622)
+        gt = gc_summary_tables(gc if gc.count() else None,
+                               inv if n_inv else None)
+        with open(os.path.join(out_dir, "gc",
+                               "04_GCSummaryRpt.txt"), "w") as fh:
+            fh.write(render_gc_summary(gt, record_date=record_date or ""))
+        all_alerts.append(gt["alerts"])
+        hist("gc_daily_summary", gt["daily"])
         record("gc", int(gc.count()) + n_inv, t0)
+
+    # combined alert sink — the reference appends every family's alert
+    # lines to ONE alert file per run (websphereLogParser.sh alrtF)
+    alerts = (
+        pd.concat([a for a in all_alerts if len(a)], ignore_index=True)
+        if any(len(a) for a in all_alerts)
+        else pd.DataFrame(columns=["rule", "key", "value", "threshold"])
+    )
+    alerts = alerts.sort_values(["rule", "key"]).reset_index(drop=True)
+    alerts.to_csv(os.path.join(out_dir, "alerts.csv"), index=False)
+    hist("alerts", alerts)
 
     return results

@@ -81,6 +81,37 @@ THRESHOLDS: dict[str, float] = {
     "global.http5xxPctTh": 5.0,  # % of http rows that are 5xx
 }
 
+# Per-family thresholds keyed `<family>.<srvPrefix3>.<property>` — the
+# reference resolves rules by the server name's 3-char prefix
+# (websphereLogParser.sh:345-379,416-439; webErrorLogParser.sh:175-190;
+# javaGCStatsParser.sh:474-489). Prefixes cover the synth fixtures
+# (was0-3 / web0-3 / jvm0-3) and the reference's App/Bat naming.
+FAMILY_THRESHOLDS: dict[str, float] = {
+    # WAS SystemOut family
+    "was.was.wasECntTh": 50.0,
+    "was.was.wasWCntTh": 100.0,
+    "was.was.wasFCntTh": 5.0,
+    "was.was.wasTranTmOutCntTh": 3.0,
+    "was.was.wasCPUStarvCntTh": 2.0,
+    "was.was.wasHungThrdCntTh": 2.0,
+    "was.App.wasECntTh": 4500.0,
+    "was.App.wasWCntTh": 9000.0,
+    "was.App.wasFCntTh": 5.0,
+    "was.App.wasTranTmOutCntTh": 3.0,
+    "was.App.wasCPUStarvCntTh": 2.0,
+    "was.App.wasHungThrdCntTh": 2.0,
+    # web error_log family
+    "http.web.httpErrorCountTh": 3500.0,
+    "http.web.httpMpmStBsyCountTh": 100.0,
+    # verbose-GC family (daily counts + old-gen-after full GC)
+    "jvm.jvm.gcDlyCountTh": 800.0,
+    "jvm.jvm.fgcDlyCountTh": 10.0,
+    "jvm.jvm.fgcOldGenAfTh": 4_700_000.0,
+    "jvm.App.gcDlyCountTh": 800.0,
+    "jvm.App.fgcDlyCountTh": 10.0,
+    "jvm.App.fgcOldGenAfTh": 4_700_000.0,
+}
+
 # WASCustomFilter.txt analogue: user-pluggable critical-error regexes, applied
 # to EVERY turn's text (websphereLogParser.sh:99-101,123,136).
 FILTER_PATTERNS: list[str] = [

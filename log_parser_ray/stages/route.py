@@ -16,6 +16,21 @@ from __future__ import annotations
 
 import ray.data
 
+from log_parser_ray.schema import (
+    CATEGORY_NONE,
+    CATEGORY_UNMATCHED,
+    SINKS,
+    TOOL_CATEGORIES,
+)
+
+# fixed enum orders for the GRAFT_NARROW_DICT int8 coding (probe lever);
+# decode tables must match route→flagship, so both import these
+SINK_ORDER: list[str] = list(SINKS)
+CATEGORY_ORDER: list[str] = sorted(set(TOOL_CATEGORIES.values())) + [
+    CATEGORY_UNMATCHED,
+    CATEGORY_NONE,
+]
+
 
 def write_sinks(
     ds: "ray.data.Dataset",
@@ -106,11 +121,39 @@ class EnrichWriteProject:
         self._enrich = Enricher(tool_categories_ref, role_severities_ref)
         self.out_dir = out_dir
         self.narrow_cols = list(narrow_cols)
+        # int8 coding is only sound against the DEFAULT category table —
+        # a custom broadcast lookup may emit values outside CATEGORY_ORDER
+        self._codable = tool_categories_ref is None
 
     def __call__(self, batch):
+        import os
+
         full = self._enrich(batch)
         write_batch_sinks(full, self.out_dir)
-        return full.select(self.narrow_cols)
+        out = full.select(self.narrow_cols)
+        if self._codable and os.environ.get("GRAFT_NARROW_DICT", "1") == "1":
+            # Default ON (BASELINE.md round-4 probe: pairwise +5..+33%,
+            # median +15% flagship throughput at 16 CPUs): encode the
+            # low-cardinality enum strings of the materialized narrow blocks
+            # as int8 CODES (category ≤ 5, sink ≤ 7 values) — cuts bytes/row
+            # through the shared object store, the measured single-box
+            # ceiling. Plain int8, not Arrow dictionary type: Ray's range
+            # sort rejects dictionary columns. flagship.run decodes on the
+            # tiny post-aggregate tables. GRAFT_NARROW_DICT=0 disables.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for c, order in (("sink", SINK_ORDER), ("category", CATEGORY_ORDER)):
+                if c in out.column_names:
+                    i = out.column_names.index(c)
+                    codes = pc.cast(
+                        pc.fill_null(
+                            pc.index_in(out[c], value_set=pa.array(order)), -1
+                        ),
+                        pa.int8(),
+                    )
+                    out = out.set_column(i, c, codes)
+        return out
 
 
 # Single-slot (key, instance) cache: a worker only ever serves one run's

@@ -345,6 +345,10 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     mpmcsv = os.path.join(out, "error", "WebErrorLogMpmStatsRpt_all.csv")
     assert len(open(mpmcsv).readlines()) == 5  # header + one row per server
     assert rd.read_parquet(os.path.join(out, "gc", "invocations")).count() == 1000
+    # 01/04 summary reports rendered from the same run (reports.py)
+    assert os.path.isfile(os.path.join(out, "was", "01_WASLogSummaryRpt.txt"))
+    assert os.path.isfile(os.path.join(out, "gc", "04_GCSummaryRpt.txt"))
+    assert os.path.isfile(os.path.join(out, "alerts.csv"))
     # per-family lineage lines
     lines = []
     for f in glob.glob(os.path.join(out, "_manifest-*.jsonl")):

@@ -1,0 +1,246 @@
+"""01_WAS / 04_GC summary-report conformance + per-family threshold alerts
++ master daily-history wiring (the reference's report/alert/history edges:
+websphereLogParser.sh:440-900, javaGCStatsParser.sh:556-622,
+webErrorLogParser.sh:361-379)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def lines_ds(lines):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "line_id": pa.array(range(len(lines)), pa.int64()),
+                "text": pa.array(list(lines), pa.string()),
+            }
+        )
+    )
+
+
+# real-grammar fixture lines (formats documented in websphereLogParser.sh
+# comment examples :255-310; values are this test's own)
+WAS_LINES = [
+    # hung + release on AppSrv01 (WSVR0605W/0606W)
+    'AppSrv01 [2/3/17 6:48:56:526 EST] 000013cb ThreadMonitor W '
+    'WSVR0605W: Thread "WebContainer : 10" (000013cb) has been active for '
+    '752276 milliseconds and may be hung.  There is/are 1 thread(s) in '
+    'total in the server that may be hung.',
+    'AppSrv01 [2/3/17 6:52:44:156 EST] 000013cb ThreadMonitor W '
+    'WSVR0606W: Thread "WebContainer : 10" (000013cb) was previously '
+    'reported to be hung but has completed.  It was active for '
+    'approximately 979913 milliseconds.  There is/are 0 thread(s) in total '
+    'in the server that still may be hung.',
+    # a second hung thread that never releases (remains at end)
+    'AppSrv01 [2/3/17 6:57:56:575 EST] 00011cd7 ThreadMonitor W '
+    'WSVR0605W: Thread "WebContainer : 26" (00011cd7) has been active for '
+    '610239 milliseconds and may be hung.  There is/are 1 thread(s) in '
+    'total in the server that may be hung.',
+    # transaction timeout declare + completion on the same (srv, thread)
+    'AppSrv03 [2/3/17 9:07:50:870 EST] 00000056 TimeoutManage I '
+    'WTRN0006W: Transaction TID123 timed out after 120 seconds',
+    'AppSrv03 [2/3/17 9:07:58:870 EST] 00000056 TimeoutManage I '
+    'WTRN0124I: Transaction completed',
+    # CPU starvation warnings (3 on AppSrv02 → exceeds th=2)
+    'AppSrv02 [2/3/17 10:09:08:674 EST] 00000049 CoordinatorCo W '
+    'HMGR0152W: CPU Starvation detected. Current thread scheduling delay '
+    'is 7 seconds.',
+    'AppSrv02 [2/3/17 10:11:08:674 EST] 00000049 CoordinatorCo W '
+    'HMGR0152W: CPU Starvation detected. Current thread scheduling delay '
+    'is 5 seconds.',
+    'AppSrv02 [2/3/17 10:15:08:674 EST] 00000049 CoordinatorCo W '
+    'HMGR0152W: CPU Starvation detected. Current thread scheduling delay '
+    'is 6 seconds.',
+    # errors with class/exception/message tokens + an OOM
+    'AppSrv01 [2/3/17 7:00:00:000 EST] 0000000a ServletWrappe E '
+    'SRVE0068E: servlet.Err Uncaught exception in servlet alpha',
+    'AppSrv01 [2/3/17 7:01:00:000 EST] 0000000a ServletWrappe E '
+    'SRVE0068E: servlet.Err Uncaught exception in servlet alpha',
+    'AppSrv01 [2/3/17 7:02:00:000 EST] 0000000b ServletWrappe E '
+    'SRVE0068E: servlet.Err Uncaught exception java.lang.OutOfMemoryError: '
+    'Java heap space',
+]
+
+
+@pytest.fixture(scope="module")
+def was_tables(ray_session):
+    from log_parser_ray.pipelines.reports import was_summary_tables
+    from log_parser_ray.stages.waslog import parse_was_lines
+
+    return was_summary_tables(parse_was_lines(lines_ds(WAS_LINES)))
+
+
+def test_hung_thread_grammar_and_summary(was_tables):
+    hd = was_tables["hung_detail"]
+    assert len(hd) == 3
+    first = hd.iloc[0]
+    assert first["woct"] == "10" and first["thid"] == "000013cb"
+    assert first["htm_s"] == pytest.approx(752.276)
+    assert first["sts"] == "Hung"
+    assert hd["sts"].tolist().count("Released") == 1
+    hs = was_tables["hung_summary"]
+    assert len(hs) == 1
+    r = hs.iloc[0]
+    # nhtc = 2 Hung events; mhtc = max chtc among Hung; rhtc = last chtc
+    # (the unreleased 26-thread leaves 1 remaining)
+    assert (r["srv"], int(r["nhtc"]), int(r["mhtc"]), int(r["rhtc"])) == (
+        "AppSrv01", 2, 1, 1)
+
+
+def test_tto_and_starvation_sections(was_tables):
+    tto = was_tables["tto_detail"]
+    assert len(tto) == 1
+    assert tto.iloc[0]["tran_id"] == "TID123"
+    assert tto.iloc[0]["timeout_s"] == 120.0
+    assert was_tables["tto_by_jvm"].iloc[0]["cnt"] == 1
+    sv = was_tables["starv_summary"]
+    assert len(sv) == 1
+    assert int(sv.iloc[0]["n"]) == 3
+    assert float(sv.iloc[0]["total_delay_s"]) == 18.0
+
+
+def test_msg_dimensions_and_counts(was_tables):
+    se = was_tables["srv_evt"]
+    # I/A lines excluded from the count branch (reference gather semantics)
+    assert int(se["cnt"].sum()) == len(WAS_LINES) - 2
+    err_cls = was_tables["top_err_cls"]
+    assert err_cls.iloc[0]["cls"] == "SRVE0068E:" and int(err_cls.iloc[0]["cnt"]) == 3
+    err_exp = was_tables["top_err_exp"]
+    assert err_exp.iloc[0]["exp"] == "servlet.Err"
+    # OOM overwrite-map keeps the last per (srv, date)
+    oom = was_tables["oom"]
+    assert len(oom) == 1 and "OutOfMemoryError" in oom.iloc[0]["msg"]
+
+
+def test_family_threshold_alerts(was_tables):
+    al = was_tables["alerts"]
+    # AppSrv02 has 3 CPU starvations > was.App.wasCPUStarvCntTh=2
+    starv = al[al["rule"] == "was.App.wasCPUStarvCntTh"]
+    assert len(starv) == 1
+    assert starv.iloc[0]["key"] == "AppSrv02"
+    assert starv.iloc[0]["value"] == 3.0
+    # counts below the E/W thresholds produce no alert rows
+    assert not len(al[al["rule"].str.endswith("wasECntTh")])
+
+
+def test_render_was_summary_layout(was_tables):
+    from log_parser_ray.pipelines.reports import render_was_summary
+
+    txt = render_was_summary(was_tables, record_date="2017-02-03")
+    for section in [
+        "===== WAS log analysis report =====",
+        "===== Hung Thread Details =====",
+        "===== Hung Thread Summary By Server =====",
+        "===== Transaction Timeout =====",
+        "===== CPU Starvation Warnings =====",
+        "===== Out of Memory Error =====",
+        "===== Summary of Error and Warning count by Server =====",
+        "ERROR and FATAL events by component",
+        "WARN events by component",
+        "Error and Fatal events by Error class",
+        "ERROR and FATAL events by Message",
+    ]:
+        assert section in txt, section
+    assert "Total New Hung Threads in the system: 2" in txt
+    assert "total Transaction timeout on all JVMs:1" in txt
+    # per-server count row arithmetic: 5 E + 4 W on AppSrv01/02
+    assert "Total for all servers:9" in txt
+
+
+def test_gc_summary_tables_and_render(ray_session, sf_dir):
+    from log_parser_ray.pipelines.reports import (
+        gc_summary_tables,
+        render_gc_summary,
+    )
+    from log_parser_ray.stages.gclog import (
+        parse_gc_invocations,
+        parse_gc_lines,
+        reassemble_gc_blocks,
+        synth_gc_lines,
+        synth_gc_stream,
+    )
+
+    gc = parse_gc_lines(synth_gc_lines(sf_dir)).materialize()
+    inv = parse_gc_invocations(
+        reassemble_gc_blocks(synth_gc_stream(sf_dir))
+    ).materialize()
+    t = gc_summary_tables(gc, inv)
+    daily = t["daily"]
+    # single-line rows roll up under date 'NA'; counts match the parse
+    na = daily[daily["dt"] == "NA"]
+    assert int(na["tgccnt"].sum()) == gc.count()
+    gcp = gc.to_pandas()
+    assert int(na["fgccnt"].sum()) == int((gcp["gc_type"] == "Full GC").sum())
+    # trt = trtgc + trtfgc row-wise
+    assert (daily["trt"] - (daily["trtgc"] + daily["trtfgc"])).abs().max() < 1e-6
+    # invocation stream contributes dated rows + the last-record table
+    dated = daily[daily["dt"] != "NA"]
+    assert len(dated) >= 1
+    assert int(dated["tgccnt"].sum()) == inv.count()
+    assert len(t["last"]) >= 1
+    txt = render_gc_summary(t, record_date="2017-04-21")
+    assert "===== Verbose GC analysis report =====" in txt
+    assert "Last Verbose GC  record for each JVM" in txt
+    assert "jvm            \tdate      " in txt
+
+
+def test_master_daily_history_idempotent(ray_session, sf_dir, tmp_path):
+    from log_parser_ray.pipelines import master
+    from log_parser_ray.state.history import read_history
+    from log_parser_ray.stages.waslog import synth_was_lines
+
+    logd = tmp_path / "logs"
+    logd.mkdir()
+    df = synth_was_lines(sf_dir).to_pandas().sort_values("line_id")
+    (logd / "SystemOut.log").write_text("\n".join(df["text"]) + "\n")
+
+    out1 = str(tmp_path / "o1")
+    master.run(str(logd), out1, record_date="2024-01-01", rpt_type="daily",
+               history_root=str(tmp_path / "hist"))
+    master.run(str(logd), str(tmp_path / "o2"), record_date="2024-01-02",
+               rpt_type="daily", history_root=str(tmp_path / "hist"))
+    # rerun day 1 → replaced, not duplicated
+    master.run(str(logd), str(tmp_path / "o3"), record_date="2024-01-01",
+               rpt_type="daily", history_root=str(tmp_path / "hist"))
+    hist = read_history(str(tmp_path / "hist"), "was_tto_by_jvm")
+    assert set(hist["date"]) == {"2024-01-01", "2024-01-02"}
+    per_date = hist.groupby("date").size()
+    assert per_date["2024-01-01"] == per_date["2024-01-02"]
+    # report emitted + ondemand runs append nothing
+    assert os.path.isfile(os.path.join(out1, "was", "01_WASLogSummaryRpt.txt"))
+    master.run(str(logd), str(tmp_path / "o4"))
+    assert not os.path.isdir(os.path.join(str(tmp_path / "o4"), "history"))
+
+
+def test_cli_record_date_daily(ray_session, sf_dir, tmp_path, capsys):
+    """S1/M20: --record-date pushes a ts predicate to the parquet read;
+    --rpttype daily appends idempotent per-date history (usage.sh:121-135)."""
+    import json
+
+    from log_parser_ray.__main__ import main
+    from log_parser_ray.state.history import read_history
+
+    out1 = str(tmp_path / "d1")
+    hroot = str(tmp_path / "d1") + "/history"
+    args = ["--events-sf", sf_dir, "--out", out1,
+            "--record-date", "2024-01-05", "--rpttype", "daily"]
+    assert main(args) == 0
+    res1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the date slice is a strict subset of the full input
+    assert main(["--events-sf", sf_dir, "--out", str(tmp_path / "full")]) == 0
+    res_full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res1["rows"] < res_full["rows"]
+    # rerun same date into the same history → replaced, not duplicated
+    assert main(args[:3] + [str(tmp_path / "d1b")] + args[4:]
+                + ["--history-root", hroot]) == 0
+    capsys.readouterr()
+    hist = read_history(hroot, "sink_counts")
+    assert set(hist["date"]) == {"2024-01-05"}
+    assert len(hist) == len(set(hist["sink"]))

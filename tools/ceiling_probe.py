@@ -11,6 +11,8 @@ deltas attribute the ceiling:
   shm-sink    sink writes to /dev/shm (page-cache/disk write-path probe)
   nocompress  parquet sinks uncompressed (CPU↔bytes trade probe)
   snappy      parquet sinks snappy (lighter codec point)
+  dictnarrow  int8-code low-cardinality narrow columns (bytes/row probe,
+              round 4 — adopted as the default; `nodict` disables it)
 
 Usage: python tools/ceiling_probe.py --variant control [--cpus 16]
 Prints one JSON line; run each variant in its own process (fresh Ray).
@@ -33,7 +35,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
                     choices=["control", "bigstore", "shm-sink", "nocompress",
-                             "snappy"])
+                             "snappy", "dictnarrow", "nodict"])
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--repeat", type=int, default=96)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -43,6 +45,12 @@ def main() -> int:
         os.environ["GRAFT_SINK_COMPRESSION"] = "none"
     elif args.variant == "snappy":
         os.environ["GRAFT_SINK_COMPRESSION"] = "snappy"
+    elif args.variant == "dictnarrow":
+        # round-4 lever (now the DEFAULT): int8-code the low-cardinality
+        # narrow strings before materialization (route.EnrichWriteProject)
+        os.environ["GRAFT_NARROW_DICT"] = "1"
+    elif args.variant == "nodict":
+        os.environ["GRAFT_NARROW_DICT"] = "0"
 
     import ray
 
