@@ -1082,6 +1082,20 @@ def q_knn_ivf(sf_dir: str):
     return sim.knn_ivf(_embeddings(sf_dir), qids, qm, cents, k=5, nprobe=3)
 
 
+def q_knn_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe = n_clusters: every cell is probed, so the ANN path
+    becomes EXACT and its SQL twin is the brute-force kNN oracle — the
+    driver-green pin for the whole IVF machinery (quantizer fit, per-block
+    assignment, probe masking, local top-k, final merge); the approximate
+    default (q_knn_ivf, nprobe=3) keeps its recall tests."""
+    n_clusters = 10
+    qids, qm = sim.load_queries(sf_dir, n_queries=5)
+    cents = sim.kmeans_fit_sampled(_embeddings(sf_dir), n_clusters=n_clusters)
+    return sim.knn_ivf(
+        _embeddings(sf_dir), qids, qm, cents, k=5, nprobe=n_clusters
+    )
+
+
 def q_curate_report(sf_dir: str):
     """Training-data curation pipeline end-to-end: exact dedup → near-dup
     cluster representative → quality filter → per-doc disposition (rows-only;
@@ -1219,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window (50) ends here ----
         "was_event_alerts": q_was_event_alerts,
         "gc_daily_alerts": q_gc_daily_alerts,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
         "decontaminate_join": q_decontaminate_join,
         "repetition_stats": q_repetition_stats,
         "errlog_referrer_ranking": q_errlog_referrer_ranking,
@@ -2008,4 +2023,7 @@ def oracle_sql() -> dict[str, str]:
     # the join-based decontamination variant computes the SAME result as the
     # broadcast one — one oracle serves both
     d["decontaminate_join"] = d["decontaminate"]
+    # nprobe = n_clusters probes every IVF cell, so the ANN path is exact
+    # and shares the brute-force kNN oracle
+    d["knn_ivf_exhaustive"] = d["knn_cosine"]
     return d

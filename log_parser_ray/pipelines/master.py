@@ -124,7 +124,9 @@ def run(
         from log_parser_ray.stages.errorlog import referrer_error_ranking
 
         t0 = time.perf_counter()
-        lines = lines_for(FAMILIES["error"])
+        # materialize the line stream once: the error-row and mpmstats
+        # parses both consume it (two lazy passes would re-read the files)
+        lines = lines_for(FAMILIES["error"]).materialize()
         errs = parse_error_lines(lines).materialize()
         errs.write_parquet(os.path.join(out_dir, "error", "rows"))
         mpm = parse_mpmstats(lines).materialize()
@@ -140,6 +142,18 @@ def run(
             referrer_error_ranking(errs).to_pandas().to_csv(
                 os.path.join(out_dir, "error", "errCntByRef.csv"), index=False
             )
+            # 03_WebErrorLogSummaryRpt: count-by-server / by-detail /
+            # by-referrer sections (webErrorLogParser.sh:321-347 render)
+            from log_parser_ray.pipelines.reports import (
+                error_summary_tables,
+                render_error_summary,
+            )
+
+            et = error_summary_tables(errs)
+            with open(os.path.join(out_dir, "error",
+                                   "03_WebErrorLogSummaryRpt.txt"), "w") as fh:
+                fh.write(render_error_summary(et, record_date=record_date or ""))
+            all_alerts.append(et["alerts"])
         if mpm.count() > 0:
             mx = argmax_by(
                 mpm.select_columns(
@@ -159,13 +173,6 @@ def run(
             all_alerts.append(_prefix_alerts(
                 mx, family="http", prop="httpMpmStBsyCountTh",
                 key_col="srv", value_col="bsy"))
-        if errs.count() > 0:
-            from log_parser_ray.stages.aggregate import grouped_count
-
-            err_by_srv = grouped_count(errs, ["srv"], alias="cnt").to_pandas()
-            all_alerts.append(_prefix_alerts(
-                err_by_srv, family="http", prop="httpErrorCountTh",
-                key_col="srv", value_col="cnt"))
         record("error", int(errs.count()), t0)
 
     if _has_files(log_dir, FAMILIES["was"]):

@@ -648,3 +648,62 @@ def render_gc_summary(t: dict, *, record_date: str = "") -> str:
             )
         out.append("")
     return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# 03 Http Error log summary
+
+
+def error_summary_tables(parsed: "ray.data.Dataset") -> dict:
+    """03-report tables (webErrorLogParser.sh:321-347 accumulators): error
+    count by web server, by error detail, by referrer — all two-phase
+    grouped counts; ranked collects happen at the report edge."""
+    from log_parser_ray.stages.errorlog import referrer_error_ranking
+
+    parsed = parsed.materialize()
+    by_ws = _df(
+        grouped_count(parsed, ["srv"], alias="cnt"), ["srv", "cnt"]
+    ).sort_values("srv").reset_index(drop=True)
+
+    def det(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"err": pc.binary_join_element_wise(t["evt_type"], t["err"], " : ")}
+        )
+
+    by_err = _df(
+        grouped_count(
+            parsed.map_batches(det, batch_format="pyarrow", zero_copy_batch=True),
+            ["err"], alias="cnt",
+        ),
+        ["err", "cnt"],
+    ).sort_values(["cnt", "err"], ascending=[False, True]).reset_index(drop=True)
+    by_ref = _df(
+        referrer_error_ranking(parsed), ["referrer", "err_det", "n"]
+    ).reset_index(drop=True)
+
+    alerts = _prefix_alerts(by_ws, family="http", prop="httpErrorCountTh",
+                            key_col="srv", value_col="cnt")
+    return {"by_ws": by_ws, "by_err": by_err, "by_ref": by_ref,
+            "alerts": alerts}
+
+
+def render_error_summary(t: dict, *, record_date: str = "") -> str:
+    """03_WebErrorLogSummaryRpt.txt layout (golden sample_reports/03_*.txt)."""
+    out = [BAR, "===== Http Error log analysis report =====",
+           f"===== based on error logs dated: {record_date}  =====", BAR, ""]
+    out += [BAR, "===== Http Error Count by Web Server =====", BAR, ""]
+    out.append("ws            cnt")
+    for _, r in t["by_ws"].iterrows():
+        out.append(f"{r['srv']:<10} \t{int(r['cnt']):>5}")
+    out.append(f"Total http error count: {int(t['by_ws']['cnt'].sum())}")
+    out += ["", BAR, "===== Http Error Count by Http Error Detail =====",
+            BAR, ""]
+    out.append("cnt  \terr                                               ")
+    for _, r in t["by_err"].iterrows():
+        out.append(f"{int(r['cnt']):>5}\t{r['err']:<50}")
+    out += ["", BAR, "===== Http Error Count by Http Referrer =====", BAR, ""]
+    out.append("cnt  \tref                                               \tdtl")
+    for _, r in t["by_ref"].iterrows():
+        out.append(f"{int(r['n']):>5}\t{r['referrer']:<50}\t{r['err_det']}")
+    out.append("")
+    return "\n".join(out)

@@ -244,3 +244,28 @@ def test_cli_record_date_daily(ray_session, sf_dir, tmp_path, capsys):
     hist = read_history(hroot, "sink_counts")
     assert set(hist["date"]) == {"2024-01-05"}
     assert len(hist) == len(set(hist["sink"]))
+
+
+def test_error_summary_report(ray_session, sf_dir, tmp_path):
+    """03-report: by-server / by-detail / by-referrer sections and
+    arithmetic (webErrorLogParser.sh:321-347)."""
+    from log_parser_ray.pipelines.reports import (
+        error_summary_tables,
+        render_error_summary,
+    )
+    from log_parser_ray.stages.errorlog import (
+        parse_error_lines,
+        synth_error_lines,
+    )
+
+    parsed = parse_error_lines(synth_error_lines(sf_dir)).materialize()
+    t = error_summary_tables(parsed)
+    assert int(t["by_ws"]["cnt"].sum()) == parsed.count()
+    assert int(t["by_err"]["cnt"].sum()) == parsed.count()
+    # by_err is ranked descending
+    assert (t["by_err"]["cnt"].diff().dropna() <= 0).all()
+    txt = render_error_summary(t, record_date="2017-11-03")
+    assert "===== Http Error log analysis report =====" in txt
+    assert "===== Http Error Count by Web Server =====" in txt
+    assert f"Total http error count: {parsed.count()}" in txt
+    assert "===== Http Error Count by Http Referrer =====" in txt
