@@ -36,7 +36,6 @@ from log_parser_ray.stages.aggregate import (
     grouped_count,
     grouped_stats,
     pivot_counts,
-    threshold_alerts,
     top_k,
 )
 from log_parser_ray.stages.enrich import enrich_dataset, enrich_sql_cte

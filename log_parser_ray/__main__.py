@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     daily = args.rpttype == "daily"
     if daily and not args.record_date:
         ap.error("--rpttype daily requires --record-date")
+    if args.partitioned and (args.record_date or daily):
+        # the partitioned mode builds its own event_id-range reads; silently
+        # ignoring the date/daily flags would produce an unfiltered run
+        ap.error("--record-date/--rpttype daily are not supported with "
+                 "--partitioned (partition by date via separate daily runs)")
     history_root = args.history_root or (args.out.rstrip("/") + "/history")
 
     if args.master_logs:
@@ -117,9 +122,18 @@ def main(argv=None) -> int:
             def _date_filter(t, lo=lo, hi=hi):
                 import pyarrow as _pa
 
+                ts = t["ts"]
                 keep = _pc.and_(
-                    _pc.greater_equal(t["ts"], _pa.scalar(lo, _pa.timestamp("us"))),
-                    _pc.less(t["ts"], _pa.scalar(hi, _pa.timestamp("us"))),
+                    _pc.greater_equal(ts, _pa.scalar(lo, _pa.timestamp("us"))),
+                    _pc.less(ts, _pa.scalar(hi, _pa.timestamp("us"))),
+                )
+                # lines whose timestamp failed to parse carry epoch 0
+                # (rawlogs.extract_line_ts fallback) — keep them: they
+                # belong to the day's file (continuation lines, unknown-UA
+                # notes); dropping them would silently empty the unparsed
+                # sink whenever --record-date is combined with --raw-logs
+                keep = _pc.or_(
+                    keep, _pc.equal(ts, _pa.scalar(0, _pa.timestamp("us")))
                 )
                 return t.filter(keep)
 

@@ -142,9 +142,14 @@ def run(
         hourly = f_hourly.result()
         topk_slow = f_topk.result()
 
-    # GRAFT_NARROW_DICT probe lever: the narrow blocks carry int8 CODES for
-    # sink/category (route.EnrichWriteProject); decode once on the tiny
-    # post-aggregate tables so every downstream report is unchanged
+    ccs_empty = ccs.count() == 0  # metadata-only: ccs is materialized
+
+    # GRAFT_NARROW_DICT lever: the narrow blocks carry int8 CODES for
+    # sink/category (route.EnrichWriteProject). Decode LAZILY — the coded
+    # ccs stays the only materialized conv-keyed copy (re-materializing a
+    # decoded twin would double the object-store footprint the coding just
+    # saved); each consumer's decode map re-runs from the coded blocks,
+    # which is per-row arithmetic on post-aggregate data, no shuffle.
     sch = ccs.schema()
     if sch is not None and "sink" in sch.names and pa.types.is_integer(
         sch.base_schema.field("sink").type
@@ -163,13 +168,13 @@ def run(
 
         ccs = ccs.map_batches(
             _decode, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        )
         if "sink" in hourly.columns:
             hourly["sink"] = hourly["sink"].map(dict(enumerate(SINK_ORDER)))
 
     from log_parser_ray.stages.aggregate import ALERT_SCHEMA
 
-    if ccs.count() == 0:
+    if ccs_empty:
         # an empty partition (a date slice matching no rows) yields
         # schema-less empty aggregates — normalize every report to its
         # schema instead of KeyError'ing downstream
@@ -242,8 +247,10 @@ def run(
 
         alerts_df = alerts.to_pandas()
         if alerts_df.empty:
-            # Ray's to_pandas drops the schema of an all-empty dataset
-            alerts_df = pd.DataFrame(columns=[f.name for f in ALERT_SCHEMA])
+            # Ray's to_pandas drops the schema of an all-empty dataset;
+            # rebuild TYPED from ALERT_SCHEMA so the history partition never
+            # carries null-typed columns
+            alerts_df = ALERT_SCHEMA.empty_table().to_pandas()
         alerts_df = alerts_df.sort_values("key").reset_index(drop=True)
         append_history(history_root, "sink_counts", run_date, result["sink_counts"])
         append_history(history_root, "hourly", run_date, result["hourly"])

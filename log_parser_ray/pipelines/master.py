@@ -78,7 +78,9 @@ def run(
         history_root = os.path.join(out_dir, "history")
 
     def hist(report: str, rows) -> None:
-        if daily and len(rows):
+        # always append when daily — an EMPTY frame must still replace the
+        # date partition (append_history handles the empty write safely)
+        if daily:
             from log_parser_ray.state.history import append_history
 
             append_history(history_root, report, record_date, rows)
@@ -188,10 +190,22 @@ def run(
                                "01_WASLogSummaryRpt.txt"), "w") as fh:
             fh.write(render_was_summary(wt, record_date=record_date or ""))
         all_alerts.append(wt["alerts"])
-        # daily history: hung-thread per-server summary + tto daily total
-        # (websphereLogParser.sh:68-89 history files)
+        # daily history: hung-thread per-server summary, tto daily total,
+        # JVM recycles and last-OOM rows (websphereLogParser.sh:68-89
+        # rptHungThreadHstFile / rptTranTimeOutHstFile / rptRecycleHstFile /
+        # rptOomHstFile)
         hist("was_hung_threads", wt["hung_summary"])
         hist("was_tto_by_jvm", wt["tto_by_jvm"])
+        hist("was_oom", wt["oom"])
+        if daily:
+            # the recycle scan + collect only feeds the history append —
+            # skip it entirely on ondemand runs
+            from log_parser_ray.stages.waslog import recycle_events
+
+            rec = recycle_events(parsed).to_pandas()
+            hist("was_recycles",
+                 rec.sort_values("line_id").reset_index(drop=True)
+                 if len(rec) else rec)
         record("was", int(parsed.count()), t0)
 
     if _has_files(log_dir, FAMILIES["gc"]):

@@ -322,21 +322,13 @@ def minhash_signatures(
             cols["fp"] = pa.array(md5_hex(texts), pa.string())
         if with_quality:
             # curation's quality metrics ride the SAME batch (single-scan
-            # curation, round-3 verdict #2) — kernels identical to
-            # textops.quality_stats so the SQL twin is unchanged
-            from log_parser_ray.stages.textops import STOP_RE
+            # curation, round-3 verdict #2) — the ONE shared kernel with
+            # textops.quality_stats, so the SQL twin cannot drift
+            from log_parser_ray.stages.textops import quality_arrays
 
-            low = pc.utf8_lower(t["text"])
-            n_words = pc.count_substring_regex(low, WORD_RE)
-            n_stop = pc.count_substring_regex(low, STOP_RE)
-            cols["n_words"] = pc.cast(n_words, pa.int64())
-            cols["stop_ratio"] = pc.round(
-                pc.divide(
-                    pc.cast(n_stop, pa.float64()),
-                    pc.max_element_wise(pc.cast(n_words, pa.float64()), 1.0),
-                ),
-                ndigits=6,
-            )
+            n_words, _, ratio = quality_arrays(t["text"])
+            cols["n_words"] = n_words
+            cols["stop_ratio"] = ratio
         return pa.table(cols)
 
     return docs.map_batches(

@@ -33,28 +33,42 @@ STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 LANG_EN_MIN_HITS = 2
 
 
+def quality_arrays(text: "pa.ChunkedArray | pa.Array"):
+    """The quality-metric kernels: (n_words int64, n_stopwords int64,
+    stop_ratio float64 round-6dp). SHARED by quality_stats and the
+    single-scan curation path (dedup.minhash_signatures with_quality) — the
+    curation SQL oracle depends on the two staying byte-identical, so there
+    is exactly one definition."""
+    low = pc.utf8_lower(text)
+    n_words = pc.count_substring_regex(low, WORD_RE)
+    n_stop = pc.count_substring_regex(low, STOP_RE)
+    ratio = pc.round(
+        pc.divide(
+            pc.cast(n_stop, pa.float64()),
+            pc.max_element_wise(pc.cast(n_words, pa.float64()), 1.0),
+        ),
+        ndigits=6,
+    )
+    return (
+        pc.cast(n_words, pa.int64()),
+        pc.cast(n_stop, pa.int64()),
+        ratio,
+    )
+
+
 def quality_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-doc quality metrics: char/word/stopword counts + stopword ratio.
 
     Vectorized: three RE2 kernels per batch, no Python row loop."""
 
     def fn(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
-        n_words = pc.count_substring_regex(low, WORD_RE)
-        n_stop = pc.count_substring_regex(low, STOP_RE)
-        ratio = pc.round(
-            pc.divide(
-                pc.cast(n_stop, pa.float64()),
-                pc.max_element_wise(pc.cast(n_words, pa.float64()), 1.0),
-            ),
-            ndigits=6,
-        )
+        n_words, n_stop, ratio = quality_arrays(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "len_chars": pc.utf8_length(t["text"]),
-                "n_words": pc.cast(n_words, pa.int64()),
-                "n_stopwords": pc.cast(n_stop, pa.int64()),
+                "n_words": n_words,
+                "n_stopwords": n_stop,
                 "stop_ratio": ratio,
             }
         )

@@ -26,14 +26,21 @@ from log_parser_ray.state.manifest import atomic_output_dir
 
 
 def append_history(root: str, report: str, date: str, rows: pd.DataFrame) -> str:
-    """Idempotently (over)write one date partition of one history report."""
+    """Idempotently (over)write one date partition of one history report.
+
+    An EMPTY frame still replaces the partition (a rerun of a day whose
+    corrected logs produce no rows must remove the stale rows) but writes
+    no parquet file: an all-object empty pandas frame would otherwise infer
+    ``null``-typed columns, and one null-typed partition makes the whole
+    report unreadable next to a dated partition with real values."""
     final_dir = os.path.join(root, report, f"date={date}")
     os.makedirs(os.path.dirname(final_dir), exist_ok=True)
     with atomic_output_dir(final_dir) as tmp:
-        pq.write_table(
-            pa.Table.from_pandas(rows, preserve_index=False),
-            os.path.join(tmp, "part-0.parquet"),
-        )
+        if len(rows):
+            pq.write_table(
+                pa.Table.from_pandas(rows, preserve_index=False),
+                os.path.join(tmp, "part-0.parquet"),
+            )
     return final_dir
 
 

@@ -45,3 +45,26 @@ def test_flagship_appends_history(ray_session, sf_dir, tmp_path):
     hist = read_history(hroot, "sink_counts")
     assert set(hist["date"]) == {"2024-01-01", "2024-01-02"}
     assert len(hist) == 2 * len(r1["sink_counts"])
+
+
+def test_empty_frame_replaces_partition(tmp_path):
+    """An EMPTY daily frame still replaces the date partition (stale rows
+    removed) without writing a null-typed parquet file that would make the
+    whole report unreadable next to dated partitions with real values."""
+    import pandas as pd
+
+    from log_parser_ray.state.history import append_history, read_history
+
+    root = str(tmp_path / "h")
+    cols = ["rule", "key", "value", "threshold"]
+    append_history(root, "alerts", "2024-01-01",
+                   pd.DataFrame({"rule": ["r"], "key": ["k"],
+                                 "value": [1.0], "threshold": [0.5]}))
+    # a later date with no rows must not poison the report schema
+    append_history(root, "alerts", "2024-01-02", pd.DataFrame(columns=cols))
+    h = read_history(root, "alerts")
+    assert len(h) == 1 and set(h["date"]) == {"2024-01-01"}
+    # rerunning a day whose corrected logs produce no rows removes the
+    # stale rows (idempotent replace, not skip)
+    append_history(root, "alerts", "2024-01-01", pd.DataFrame(columns=cols))
+    assert len(read_history(root, "alerts")) == 0
