@@ -225,25 +225,84 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    srv_evt = (
-        grouped_count(nonx, ["srv", "evt_type"], alias="cnt")
-        .to_pandas().sort_values(["srv", "evt_type"]).reset_index(drop=True)
-    )
 
-    cmp_counts = grouped_count(nonx, ["component", "evt_type"], alias="cnt")
-    cmp_counts = cmp_counts.materialize()
-    cls_counts = grouped_count(
-        _msg_dim(parsed, S_CMP_RE, "cls"), ["cls", "evt_type"], alias="cnt"
-    ).materialize()
-    exp_counts = grouped_count(
-        _msg_dim(parsed, EXP_RE, "exp"), ["exp", "evt_type"], alias="cnt"
-    ).materialize()
-    msg_counts = grouped_count(
-        _msg_dim(parsed, MSG_TAIL_RE, "msg"), ["msg", "evt_type"], alias="cnt"
-    ).materialize()
+    # CPU starvation detail extractor (submitted below)
+    from log_parser_ray.stages.waslog import CPU_STARV_RE
+
+    def starv_detail_fn(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["msg_id"], "HMGR0152W"))
+        d = pc.struct_field(pc.extract_regex(sub["msg"], CPU_STARV_RE), "d")
+        dt, tm, tz, _ = _dtm_parts(sub["dtm"])
+        return pa.table(
+            {"srv": sub["srv"], "dt": dt, "tm": tm, "tz": tz,
+             "line_id": sub["line_id"],
+             "dly": pc.cast(d, pa.float64())}
+        )
+
+    # the ~9 independent aggregates run CONCURRENTLY on driver threads from
+    # the same materialized parsed blocks (the flagship pattern — their
+    # shuffle barriers would otherwise serialize into the report wall time)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        f_srv = ex.submit(
+            lambda: grouped_count(nonx, ["srv", "evt_type"], alias="cnt")
+            .to_pandas()
+        )
+        f_cmp = ex.submit(
+            lambda: grouped_count(
+                nonx, ["component", "evt_type"], alias="cnt").materialize()
+        )
+        f_cls = ex.submit(
+            lambda: grouped_count(
+                _msg_dim(parsed, S_CMP_RE, "cls"), ["cls", "evt_type"],
+                alias="cnt").materialize()
+        )
+        f_exp = ex.submit(
+            lambda: grouped_count(
+                _msg_dim(parsed, EXP_RE, "exp"), ["exp", "evt_type"],
+                alias="cnt").materialize()
+        )
+        f_msg = ex.submit(
+            lambda: grouped_count(
+                _msg_dim(parsed, MSG_TAIL_RE, "msg"), ["msg", "evt_type"],
+                alias="cnt").materialize()
+        )
+        f_hung = ex.submit(lambda: hung_thread_events(parsed).materialize())
+        f_tto = ex.submit(lambda: tto_correlate(parsed).materialize())
+        f_starv_d = ex.submit(
+            lambda: _df(
+                parsed.map_batches(starv_detail_fn, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                ["srv", "dt", "tm", "tz", "line_id", "dly"],
+            )
+        )
+        f_starv_s = ex.submit(
+            lambda: _df(cpu_starvation_summary(parsed),
+                        ["srv", "n", "total_delay_s"])
+        )
+        f_oom = ex.submit(
+            lambda: _df(
+                oom_last_event(parsed),
+                ["srv", "dt", "line_id", "dtm", "thread", "component", "msg"],
+            )
+        )
+        srv_evt = f_srv.result().sort_values(
+            ["srv", "evt_type"]).reset_index(drop=True)
+        cmp_counts = f_cmp.result()
+        cls_counts = f_cls.result()
+        exp_counts = f_exp.result()
+        msg_counts = f_msg.result()
+        hung = f_hung.result()
+        tto = f_tto.result()
+        starv_detail = f_starv_d.result().sort_values(
+            ["srv", "line_id"]).reset_index(drop=True)
+        starv_summary = f_starv_s.result().sort_values(
+            ["total_delay_s", "srv"], ascending=[False, True]
+        ).reset_index(drop=True)
+        oom = f_oom.result().sort_values(["srv", "dt"]).reset_index(drop=True)
 
     # hung threads: details + per-server nhtc/mhtc/rhtc
-    hung = hung_thread_events(parsed).materialize()
     HUNG_COLS = ["line_id", "srv", "dt", "tm", "tz", "hr", "woct", "thid",
                  "htm_s", "chtc", "sts"]
     hung_detail = _df(hung, HUNG_COLS).sort_values(
@@ -266,7 +325,6 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
         hung_summary = pd.DataFrame(columns=["srv", "nhtc", "mhtc", "rhtc"])
 
     # transaction timeouts: correlated pairs + per-JVM counts
-    tto = tto_correlate(parsed).materialize()
     tto_detail = _df(
         tto, ["line_id", "srv", "thread", "tran_id", "timeout_s",
               "declare_line"],
@@ -274,34 +332,6 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
     tto_by_jvm = _df(
         grouped_count(tto, ["srv"], alias="cnt"), ["srv", "cnt"]
     ).sort_values("srv").reset_index(drop=True)
-
-    # CPU starvation: details + summary
-    from log_parser_ray.stages.waslog import CPU_STARV_RE
-
-    def starv_detail_fn(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t["msg_id"], "HMGR0152W"))
-        d = pc.struct_field(pc.extract_regex(sub["msg"], CPU_STARV_RE), "d")
-        dt, tm, tz, _ = _dtm_parts(sub["dtm"])
-        return pa.table(
-            {"srv": sub["srv"], "dt": dt, "tm": tm, "tz": tz,
-             "line_id": sub["line_id"],
-             "dly": pc.cast(d, pa.float64())}
-        )
-
-    starv_detail = _df(
-        parsed.map_batches(starv_detail_fn, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        ["srv", "dt", "tm", "tz", "line_id", "dly"],
-    ).sort_values(["srv", "line_id"]).reset_index(drop=True)
-    starv_summary = _df(
-        cpu_starvation_summary(parsed), ["srv", "n", "total_delay_s"]
-    ).sort_values(["total_delay_s", "srv"],
-                  ascending=[False, True]).reset_index(drop=True)
-
-    oom = _df(
-        oom_last_event(parsed),
-        ["srv", "dt", "line_id", "dtm", "thread", "component", "msg"],
-    ).sort_values(["srv", "dt"]).reset_index(drop=True)
 
     tables = {
         "srv_evt": srv_evt,
