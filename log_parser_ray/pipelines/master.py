@@ -119,6 +119,7 @@ def run(
             history_root=history_root if daily else None,
             run_date=record_date if daily else None,
         )
+        all_alerts.append(res["alerts"])
         record("access", int(res["hourly"]["irc"].sum()), t0)
 
     if _has_files(log_dir, FAMILIES["error"]):

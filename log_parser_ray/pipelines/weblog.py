@@ -117,7 +117,13 @@ def run(
         # through the object store once; unset, the plan fuses
         # read → parse → sink-write → project into one task per file
     )
-    # ONE materialize, narrow columns only, parsed sink only
+    # ONE materialize, narrow columns only (all sinks — the discarded-count
+    # alert needs the sink histogram); the report aggregates filter to the
+    # parsed sink from the same materialized blocks
+    narrow = narrow.materialize()
+    from log_parser_ray.stages.aggregate import grouped_count as _gc
+
+    sink_hist = _gc(narrow, ["sink"], alias="n").to_pandas()
     ok = narrow.map_batches(
         lambda t: t.filter(pc.equal(t["sink"], "parsed")),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -125,7 +131,13 @@ def run(
 
     def prep(t: pa.Table) -> pa.Table:
         is_static = pc.is_in(t["ext"], value_set=pa.array(STATIC_EXTS))
-        t = t.append_column("is_app", pc.cast(pc.invert(is_static), pa.int64()))
+        is_app = pc.cast(pc.invert(is_static), pa.int64())
+        t = t.append_column("is_app", is_app)
+        # app-only rt sum rides the SAME shuffle (httpAvgRespTimeTh excludes
+        # static contents, thresholdValues.csv:6)
+        t = t.append_column(
+            "rt_app", pc.multiply(pc.fill_null(t["rt_us"], 0), is_app)
+        )
         for lbl in RANGE_LABELS:
             t = t.append_column(
                 lbl, pc.cast(pc.fill_null(pc.equal(t["resp_range"], lbl), False),
@@ -134,19 +146,21 @@ def run(
         return t
 
     # hourly pass 1/2: counts + sums + range-indicator counts, ONE shuffle
-    aggs = [("is_app", "sum"), ("rt_us", "sum"), ("", "count_all")] + [
+    aggs = [("is_app", "sum"), ("rt_us", "sum"), ("rt_app", "sum"),
+            ("", "count_all")] + [
         (lbl, "sum") for lbl in RANGE_LABELS
     ]
     part = _mb(_mb(ok, prep), _partial(["hour"], aggs), batch_size=COMBINE_ROWS)
     hourly = sorted_combine(
         part,
         ["hour"],
-        [("is_app_sum", "sum"), ("rt_us_sum", "sum"), ("count_all", "sum")]
+        [("is_app_sum", "sum"), ("rt_us_sum", "sum"), ("rt_app_sum", "sum"),
+         ("count_all", "sum")]
         + [(f"{lbl}_sum", "sum") for lbl in RANGE_LABELS],
         renames={"is_app_sum_sum": "xrc", "rt_us_sum_sum": "sum_rt_us",
-                 "count_all_sum": "irc"}
+                 "rt_app_sum_sum": "_sum_rt_app", "count_all_sum": "irc"}
         | {f"{lbl}_sum_sum": f"_n_{lbl}" for lbl in RANGE_LABELS},
-        keep=["hour", "xrc", "sum_rt_us", "irc"]
+        keep=["hour", "xrc", "sum_rt_us", "_sum_rt_app", "irc"]
         + [f"_n_{lbl}" for lbl in RANGE_LABELS],
     ).to_pandas()
 
@@ -180,8 +194,18 @@ def run(
     denom = sum(hourly[f"_n_{lbl}"] for lbl in RANGE_LABELS)
     for lbl in RANGE_LABELS:
         hourly[lbl] = (100.0 * hourly[f"_n_{lbl}"] / denom).round(3).fillna(0.0)
+    # daily totals for the global http alert rules, captured before the
+    # helper columns are dropped from the report frame
+    day_totals = {
+        "irc": int(hourly["irc"].sum()) if len(hourly) else 0,
+        "xrc": int(hourly["xrc"].sum()) if len(hourly) else 0,
+        "sum_rt_app": float(hourly["_sum_rt_app"].sum()) if len(hourly) else 0.0,
+        "n_1s": float(hourly[f"_n_{RANGE_LABELS[0]}"].sum()) if len(hourly) else 0.0,
+        "n_over": float(hourly[f"_n_{RANGE_LABELS[-1]}"].sum()) if len(hourly) else 0.0,
+    }
     hourly = (
-        hourly.drop(columns=[f"_n_{lbl}" for lbl in RANGE_LABELS] + ["uid"])
+        hourly.drop(columns=[f"_n_{lbl}" for lbl in RANGE_LABELS]
+                    + ["uid", "_sum_rt_app"])
         .sort_values("hour")
         .reset_index(drop=True)
     )
@@ -201,6 +225,40 @@ def run(
     # method × server pivot (A10)
     methods = grouped_count(ok, ["websrvr", "request"], alias="n").to_pandas()
 
+    # J5 global http rules (webAccessLogParser.sh alert rows; thresholds
+    # from thresholdValues.csv target 'http') — evaluated on the daily
+    # totals already in hand, no extra pass
+    from log_parser_ray.schema import FAMILY_THRESHOLDS
+
+    alert_rows = []
+
+    def galert(prop: str, value: float, *, below: bool = False) -> None:
+        rule = f"http.{prop}"
+        th = FAMILY_THRESHOLDS.get(rule)
+        if th is None:
+            return
+        if (value < th) if below else (value > th):
+            alert_rows.append({"rule": rule, "key": "all",
+                               "value": float(value), "threshold": float(th)})
+
+    if day_totals["xrc"]:
+        galert("httpAvgRespTimeTh",
+               day_totals["sum_rt_app"] / day_totals["xrc"] / 1e6)
+    if day_totals["irc"]:
+        galert("httpDly1SecRangeTh",
+               100.0 * day_totals["n_1s"] / day_totals["irc"], below=True)
+        galert("httpDly20SecRangeTh",
+               100.0 * day_totals["n_over"] / day_totals["irc"])
+    if total:
+        n400 = int(rc.loc[rc["response"] >= 400, "cnt"].sum())
+        galert("http400PlusRespCountTh", 100.0 * n400 / total)
+    n_disc = int(
+        sink_hist.loc[sink_hist["sink"] == "discarded", "n"].sum()
+    ) if len(sink_hist) else 0
+    galert("httpDiscRcdCountTh", float(n_disc))
+    alerts = pd.DataFrame(alert_rows,
+                          columns=["rule", "key", "value", "threshold"])
+
     if history_root is not None and run_date is not None:
         # IO5: the reference's daily history CSVs (hourly avg, per-code,
         # perf) as idempotent date-partitioned parquet appends
@@ -209,16 +267,19 @@ def run(
         append_history(history_root, "access_hourly", run_date, hourly)
         append_history(history_root, "access_response_codes", run_date, rc)
         append_history(history_root, "access_top_slow", run_date, slow)
+        append_history(history_root, "access_alerts", run_date, alerts)
 
     report = _render_report(hourly, rc, total, slow)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
     with open(rpt_path, "w") as fh:
         fh.write(report)
     for name, df in [("hourly", hourly), ("response_codes", rc),
-                     ("top_slow", slow), ("methods", methods)]:
+                     ("top_slow", slow), ("methods", methods),
+                     ("alerts", alerts)]:
         df.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
     return {"hourly": hourly, "response_codes": rc, "top_slow": slow,
-            "methods": methods, "total": total, "report_path": rpt_path}
+            "methods": methods, "total": total, "report_path": rpt_path,
+            "alerts": alerts, "sink_counts": sink_hist}
 
 
 def _render_report(hourly: pd.DataFrame, rc: pd.DataFrame, total: int,

@@ -103,6 +103,13 @@ FAMILY_THRESHOLDS: dict[str, float] = {
     # web error_log family
     "http.web.httpErrorCountTh": 3500.0,
     "http.web.httpMpmStBsyCountTh": 100.0,
+    # web access_log family — GLOBAL (daily) rules, no server prefix
+    # (thresholdValues.csv target 'http': webAccessLogParser.sh alert rows)
+    "http.httpAvgRespTimeTh": 2.5,       # daily avg resp sec, app pages only
+    "http.httpDly1SecRangeTh": 82.0,     # alert if ≤1s range % falls BELOW
+    "http.httpDly20SecRangeTh": 0.9,     # alert if >20s range % exceeds
+    "http.http400PlusRespCountTh": 10.0, # alert if 400+ responses % exceeds
+    "http.httpDiscRcdCountTh": 2500.0,   # discarded-record count
     # verbose-GC family (daily counts + old-gen-after full GC)
     "jvm.jvm.gcDlyCountTh": 800.0,
     "jvm.jvm.fgcDlyCountTh": 10.0,

@@ -302,6 +302,22 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
     assert f"Total response count: {res['total']}" in txt
     # routed sinks written
     assert os.path.isdir(os.path.join(out, "routed", "sink=parsed"))
+    # global http alert rules evaluated on the day totals: values must
+    # reproduce from the report tables (rule arithmetic, not just presence)
+    al = res["alerts"]
+    assert set(al.columns) == {"rule", "key", "value", "threshold"}
+    from log_parser_ray.schema import FAMILY_THRESHOLDS
+    for _, r in al.iterrows():
+        assert r["threshold"] == FAMILY_THRESHOLDS[r["rule"]]
+    n400 = int(rc.loc[rc["response"] >= 400, "cnt"].sum())
+    pct400 = 100.0 * n400 / res["total"]
+    has_400_alert = ("http.http400PlusRespCountTh" in set(al["rule"]))
+    assert has_400_alert == (pct400 > FAMILY_THRESHOLDS["http.http400PlusRespCountTh"])
+    if has_400_alert:
+        got = float(al.loc[al["rule"] == "http.http400PlusRespCountTh", "value"].iloc[0])
+        assert abs(got - pct400) < 1e-9
+    # discarded-count rule sees the sink histogram
+    assert "sink_counts" in res and "sink" in res["sink_counts"].columns
 
 
 def test_master_orchestrator(ray_session, sf_dir, tmp_path):
