@@ -564,6 +564,70 @@ def q_access_hourly_xcl(sf_dir: str):
     return stats.sort_values("hour").reset_index(drop=True)
 
 
+def q_access_alerts(sf_dir: str):
+    """J5 global http rules over the access pack (webAccessLogParser.sh
+    alert rows; thresholdValues.csv target 'http'): daily avg app-page
+    response seconds, ≤1s / >20s range percentages, 400+ response
+    percentage, discarded-record count — each vs FAMILY_THRESHOLDS, alert
+    row emitted where exceeded (the 1-sec rule fires BELOW threshold).
+    One partial-sums pass over the parsed table; values rounded 6dp so
+    the hash compare is drift-free."""
+    from log_parser_ray.schema import FAMILY_THRESHOLDS
+
+    parsed = _access_parsed(sf_dir)
+
+    def partial(t):
+        ok = pc.equal(t["sink"], "parsed")
+        is_static = pc.is_in(t["ext"], value_set=pa.array(STATIC_EXTS))
+        app = pc.and_(ok, pc.invert(is_static))
+
+        def s(mask):
+            return pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+
+        rt_app = pc.if_else(app, pc.fill_null(t["rt_us"], 0), 0)
+        return pa.table({
+            "n_ok": [s(ok)],
+            "n_app": [s(app)],
+            "sum_rt_app": [pc.sum(rt_app).as_py() or 0],
+            "n_1s": [s(pc.and_(ok, pc.fill_null(
+                pc.equal(t["resp_range"], "<=1sec"), False)))],
+            "n_over": [s(pc.and_(ok, pc.fill_null(
+                pc.equal(t["resp_range"], ">20sec"), False)))],
+            "n_400": [s(pc.and_(ok, pc.fill_null(
+                pc.greater_equal(t["response"], 400), False)))],
+            "n_disc": [s(pc.equal(t["sink"], "discarded"))],
+        })
+
+    tot = parsed.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sum()
+
+    rows = []
+
+    def rule(prop, value, *, below=False):
+        th = FAMILY_THRESHOLDS[f"http.{prop}"]
+        if (value < th) if below else (value > th):
+            rows.append({"rule": f"http.{prop}", "key": "all",
+                         "value": float(value), "threshold": float(th)})
+
+    if tot["n_app"]:
+        rule("httpAvgRespTimeTh",
+             round(tot["sum_rt_app"] / tot["n_app"] / 1e6, 6))
+    if tot["n_ok"]:
+        rule("httpDly1SecRangeTh",
+             round(100.0 * tot["n_1s"] / tot["n_ok"], 6), below=True)
+        rule("httpDly20SecRangeTh",
+             round(100.0 * tot["n_over"] / tot["n_ok"], 6))
+        rule("http400PlusRespCountTh",
+             round(100.0 * tot["n_400"] / tot["n_ok"], 6))
+    rule("httpDiscRcdCountTh", float(tot["n_disc"]))
+    return (
+        pd.DataFrame(rows, columns=["rule", "key", "value", "threshold"])
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+
+
 def q_access_browser_users(sf_dir: str):
     """D3: browser usage by DISTINCT user (webAccessLogParser.sh:735-736,
     1200-1216)."""
@@ -1233,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "was_event_alerts": q_was_event_alerts,
         "gc_daily_alerts": q_gc_daily_alerts,
         "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
+        "access_alerts": q_access_alerts,
         "decontaminate_join": q_decontaminate_join,
         "repetition_stats": q_repetition_stats,
         "errlog_referrer_ranking": q_errlog_referrer_ranking,
@@ -1491,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
     _FAMILY_TH_VALUES = ", ".join(
         f"('{k}', {v})" for k, v in sorted(FAMILY_THRESHOLDS.items())
     )
+    _STATIC_SQL = ", ".join(f"'{e}'" for e in STATIC_EXTS)
     pivot_cols = ", ".join(
         f"CAST(SUM(CASE WHEN sink = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
         for s in SINKS
@@ -1751,6 +1817,51 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT tool_name, COUNT(*) AS n FROM parsed
              WHERE tool_name IS NOT NULL GROUP BY tool_name
              ORDER BY n DESC, tool_name""",
+        "access_alerts": A
+        + f""", tot AS (
+              SELECT
+                SUM(CASE WHEN sink = 'parsed' THEN 1 ELSE 0 END) AS n_ok,
+                SUM(CASE WHEN sink = 'parsed' AND ext NOT IN ({_STATIC_SQL})
+                         THEN 1 ELSE 0 END) AS n_app,
+                SUM(CASE WHEN sink = 'parsed' AND ext NOT IN ({_STATIC_SQL})
+                         THEN rt_us ELSE 0 END) AS sum_rt_app,
+                SUM(CASE WHEN sink = 'parsed' AND resp_range = '<=1sec'
+                         THEN 1 ELSE 0 END) AS n_1s,
+                SUM(CASE WHEN sink = 'parsed' AND resp_range = '>20sec'
+                         THEN 1 ELSE 0 END) AS n_over,
+                SUM(CASE WHEN sink = 'parsed' AND response >= 400
+                         THEN 1 ELSE 0 END) AS n_400,
+                SUM(CASE WHEN sink = 'discarded' THEN 1 ELSE 0 END) AS n_disc
+              FROM access_truth),
+            rules AS (
+              SELECT 'http.httpAvgRespTimeTh' AS rule,
+                     round_even(sum_rt_app * 1.0 / n_app / 1e6, 6) AS value,
+                     {FAMILY_THRESHOLDS['http.httpAvgRespTimeTh']} AS threshold,
+                     FALSE AS below
+              FROM tot WHERE n_app > 0
+              UNION ALL
+              SELECT 'http.httpDly1SecRangeTh',
+                     round_even(100.0 * n_1s / n_ok, 6),
+                     {FAMILY_THRESHOLDS['http.httpDly1SecRangeTh']}, TRUE
+              FROM tot WHERE n_ok > 0
+              UNION ALL
+              SELECT 'http.httpDly20SecRangeTh',
+                     round_even(100.0 * n_over / n_ok, 6),
+                     {FAMILY_THRESHOLDS['http.httpDly20SecRangeTh']}, FALSE
+              FROM tot WHERE n_ok > 0
+              UNION ALL
+              SELECT 'http.http400PlusRespCountTh',
+                     round_even(100.0 * n_400 / n_ok, 6),
+                     {FAMILY_THRESHOLDS['http.http400PlusRespCountTh']}, FALSE
+              FROM tot WHERE n_ok > 0
+              UNION ALL
+              SELECT 'http.httpDiscRcdCountTh', CAST(n_disc AS DOUBLE),
+                     {FAMILY_THRESHOLDS['http.httpDiscRcdCountTh']}, FALSE
+              FROM tot)
+            SELECT rule, 'all' AS key, value, threshold FROM rules
+            WHERE (below AND value < threshold)
+               OR (NOT below AND value > threshold)
+            ORDER BY rule""",
         # --- error-log / mpmstats / GC packs: oracle = events-derived truth ---
         "errorlog_rows": E + "SELECT * FROM errlog_truth",
         "errorlog_counts": E
