@@ -570,10 +570,9 @@ def q_access_alerts(sf_dir: str):
     response seconds, ≤1s / >20s range percentages, 400+ response
     percentage, discarded-record count — each vs FAMILY_THRESHOLDS, alert
     row emitted where exceeded (the 1-sec rule fires BELOW threshold).
-    One partial-sums pass over the parsed table; values rounded 6dp so
-    the hash compare is drift-free."""
-    from log_parser_ray.schema import FAMILY_THRESHOLDS
-
+    One partial-sums pass over the parsed table; the rule arithmetic is
+    the SAME shared implementation the weblog pipeline ships
+    (reports.global_http_alerts — 6dp round-even before the compare)."""
     parsed = _access_parsed(sf_dir)
 
     def partial(t):
@@ -602,30 +601,9 @@ def q_access_alerts(sf_dir: str):
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas().sum()
 
-    rows = []
+    from log_parser_ray.pipelines.reports import global_http_alerts
 
-    def rule(prop, value, *, below=False):
-        th = FAMILY_THRESHOLDS[f"http.{prop}"]
-        if (value < th) if below else (value > th):
-            rows.append({"rule": f"http.{prop}", "key": "all",
-                         "value": float(value), "threshold": float(th)})
-
-    if tot["n_app"]:
-        rule("httpAvgRespTimeTh",
-             round(tot["sum_rt_app"] / tot["n_app"] / 1e6, 6))
-    if tot["n_ok"]:
-        rule("httpDly1SecRangeTh",
-             round(100.0 * tot["n_1s"] / tot["n_ok"], 6), below=True)
-        rule("httpDly20SecRangeTh",
-             round(100.0 * tot["n_over"] / tot["n_ok"], 6))
-        rule("http400PlusRespCountTh",
-             round(100.0 * tot["n_400"] / tot["n_ok"], 6))
-    rule("httpDiscRcdCountTh", float(tot["n_disc"]))
-    return (
-        pd.DataFrame(rows, columns=["rule", "key", "value", "threshold"])
-        .sort_values("rule")
-        .reset_index(drop=True)
-    )
+    return global_http_alerts({k: tot[k] for k in tot.index})
 
 
 def q_access_browser_users(sf_dir: str):

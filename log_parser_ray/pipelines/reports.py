@@ -244,7 +244,7 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
     # shuffle barriers would otherwise serialize into the report wall time)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=10) as ex:
         f_srv = ex.submit(
             lambda: grouped_count(nonx, ["srv", "evt_type"], alias="cnt")
             .to_pandas()
@@ -737,3 +737,40 @@ def render_error_summary(t: dict, *, record_date: str = "") -> str:
         out.append(f"{int(r['n']):>5}\t{r['referrer']:<50}\t{r['err_det']}")
     out.append("")
     return "\n".join(out)
+
+
+def global_http_alerts(totals: dict) -> pd.DataFrame:
+    """The five GLOBAL http daily rules (thresholdValues.csv target 'http';
+    webAccessLogParser.sh alert rows) evaluated on day totals — the ONE
+    shared implementation for the weblog pipeline and the oracle-checked
+    query, so the rule arithmetic cannot drift: values are rounded 6dp
+    (round-half-even, matching the SQL twin's round_even) BEFORE the
+    threshold compare, and an unknown rule name raises (a typo must not
+    silently disable an alert).
+
+    ``totals`` keys: n_ok, n_app, sum_rt_app (µs), n_1s, n_over, n_400,
+    n_disc."""
+    rows = []
+
+    def rule(prop: str, value: float, *, below: bool = False) -> None:
+        th = FAMILY_THRESHOLDS[f"http.{prop}"]
+        if (value < th) if below else (value > th):
+            rows.append({"rule": f"http.{prop}", "key": "all",
+                         "value": float(value), "threshold": float(th)})
+
+    if totals["n_app"]:
+        rule("httpAvgRespTimeTh",
+             round(totals["sum_rt_app"] / totals["n_app"] / 1e6, 6))
+    if totals["n_ok"]:
+        rule("httpDly1SecRangeTh",
+             round(100.0 * totals["n_1s"] / totals["n_ok"], 6), below=True)
+        rule("httpDly20SecRangeTh",
+             round(100.0 * totals["n_over"] / totals["n_ok"], 6))
+        rule("http400PlusRespCountTh",
+             round(100.0 * totals["n_400"] / totals["n_ok"], 6))
+    rule("httpDiscRcdCountTh", float(totals["n_disc"]))
+    return (
+        pd.DataFrame(rows, columns=["rule", "key", "value", "threshold"])
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )

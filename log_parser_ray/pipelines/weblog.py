@@ -117,17 +117,16 @@ def run(
         # through the object store once; unset, the plan fuses
         # read → parse → sink-write → project into one task per file
     )
-    # ONE materialize, narrow columns only (all sinks — the discarded-count
-    # alert needs the sink histogram); the report aggregates filter to the
-    # parsed sink from the same materialized blocks
+    # ONE materialize, narrow columns only, ALL sinks (the discarded-count
+    # alert needs the sink histogram); `ok` stays a LAZY filter over the
+    # materialized blocks — each report aggregate re-runs the cheap per-row
+    # filter instead of pinning a second near-full copy of the narrow table
     narrow = narrow.materialize()
-    from log_parser_ray.stages.aggregate import grouped_count as _gc
-
-    sink_hist = _gc(narrow, ["sink"], alias="n").to_pandas()
+    sink_hist = grouped_count(narrow, ["sink"], alias="n").to_pandas()
     ok = narrow.map_batches(
         lambda t: t.filter(pc.equal(t["sink"], "parsed")),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    )
 
     def prep(t: pa.Table) -> pa.Table:
         is_static = pc.is_in(t["ext"], value_set=pa.array(STATIC_EXTS))
@@ -225,39 +224,23 @@ def run(
     # method × server pivot (A10)
     methods = grouped_count(ok, ["websrvr", "request"], alias="n").to_pandas()
 
-    # J5 global http rules (webAccessLogParser.sh alert rows; thresholds
-    # from thresholdValues.csv target 'http') — evaluated on the daily
-    # totals already in hand, no extra pass
-    from log_parser_ray.schema import FAMILY_THRESHOLDS
+    # J5 global http rules — evaluated on the daily totals already in hand
+    # (no extra pass) through the ONE shared rule implementation
+    # (reports.global_http_alerts, also behind the access_alerts oracle)
+    from log_parser_ray.pipelines.reports import global_http_alerts
 
-    alert_rows = []
-
-    def galert(prop: str, value: float, *, below: bool = False) -> None:
-        rule = f"http.{prop}"
-        th = FAMILY_THRESHOLDS.get(rule)
-        if th is None:
-            return
-        if (value < th) if below else (value > th):
-            alert_rows.append({"rule": rule, "key": "all",
-                               "value": float(value), "threshold": float(th)})
-
-    if day_totals["xrc"]:
-        galert("httpAvgRespTimeTh",
-               day_totals["sum_rt_app"] / day_totals["xrc"] / 1e6)
-    if day_totals["irc"]:
-        galert("httpDly1SecRangeTh",
-               100.0 * day_totals["n_1s"] / day_totals["irc"], below=True)
-        galert("httpDly20SecRangeTh",
-               100.0 * day_totals["n_over"] / day_totals["irc"])
-    if total:
-        n400 = int(rc.loc[rc["response"] >= 400, "cnt"].sum())
-        galert("http400PlusRespCountTh", 100.0 * n400 / total)
     n_disc = int(
         sink_hist.loc[sink_hist["sink"] == "discarded", "n"].sum()
     ) if len(sink_hist) else 0
-    galert("httpDiscRcdCountTh", float(n_disc))
-    alerts = pd.DataFrame(alert_rows,
-                          columns=["rule", "key", "value", "threshold"])
+    alerts = global_http_alerts({
+        "n_ok": day_totals["irc"],
+        "n_app": day_totals["xrc"],
+        "sum_rt_app": day_totals["sum_rt_app"],
+        "n_1s": day_totals["n_1s"],
+        "n_over": day_totals["n_over"],
+        "n_400": int(rc.loc[rc["response"] >= 400, "cnt"].sum()) if total else 0,
+        "n_disc": n_disc,
+    })
 
     if history_root is not None and run_date is not None:
         # IO5: the reference's daily history CSVs (hourly avg, per-code,

@@ -121,6 +121,10 @@ def tto_correlate(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return group_safe_map(keep, ["srv", "thread"], fn, batch_format="pandas")
 
 
+# uidn%16 has 16 values — a module-level lookup table replaces the per-row
+# f-string in the synth composer
+_THREAD_LUT = np.array([f"{i:08x}" for i in range(16)], dtype=object)
+
 CPU_STARV_RE = r"HMGR0152W: CPU Starvation detected.*delay is (?P<d>\d+) seconds"
 OOM_RE = r"java\.lang\.OutOfMemoryError"
 
@@ -193,7 +197,7 @@ def _compose(batch: pa.Table) -> pa.Table:
     ts_s = pc.cast(pc.floor_temporal(batch["ts"], unit="second"), pa.timestamp("s"))
     dtm = pc.strftime(ts_s, format="%m/%d/%y %H:%M:%S").to_numpy(zero_copy_only=False)
     srv = np.char.add("was", (uidn % 4).astype(str))
-    thread = np.array([f"{u % 16:08x}" for u in uidn], dtype=object)
+    thread = _THREAD_LUT[uidn % 16]
     kinds = eid % 8
     sel = [kinds == k for k in range(7)]
     comp = np.select(
