@@ -5,27 +5,32 @@ over REAL access_log files, reports included.
       → FUSED parse → sink-write → narrow projection (one task chain —
         the full-width 26-col + text rows are written to the routed hive
         layout INSIDE the read/parse task and never enter the object
-        store; only the 11 narrow report columns do)
-      → report suite over SHARED shuffles:
+        store; only the narrow report columns do)
+      → report suite over SHARED shuffles (concurrent driver threads):
           hourly statistics (uuc/usc/art/range%/xrc/irc)    # golden table
             · counts + rt sums + range indicators: ONE grouped pass
             · uuc + usc: ONE two-phase distinct over (hour, kind, val)
-          overall-daily row                                 # AG7
+          Overall-Daily row (app-only art + ranges)         # AG7
+          per-WS / per-WAS statistics (+ distincts)         # A18
           response-code counts + %                          # A12
-          top-10 slowest URIs by avg                        # K2
+          top-10 slowest raw responses                      # K1
+          top-10 400+ URLs                                  # K3
+          domain top-5 / UID top-5 by avg (app-only)        # K4/K5
+          extension summary                                 # A15
+          browser / OS usage by distinct user               # D3
           method × server pivot                             # A10
-      → 02_WebAccessLogSummaryRpt.txt-shaped text render    # report edge
+      → 02_WebAccessLogSummaryRpt.txt full-layout render    # report edge
 
-This is the flagship's shape (route.py:99-: fused
-read→parse→enrich→write→project) applied to the real-file pack — the
-round-2 version materialized the full-width table twice and ran 5 separate
-shuffles for the hourly report alone (round-2 verdict "What's wrong" #1).
-
-The text render mirrors the reference's column layout and %.3f formatting
-(sample_reports/02_WebAccessLogSummaryRpt.txt) — rendering happens at the
-EDGE over already-small aggregate frames; every number comes from the same
-distributed aggregates the parquet sinks carry (SURVEY §2.8: printf
-formatting is presentation, not computation).
+This is the flagship's shape (route.py: fused
+read→parse→enrich→write→project) applied to the real-file pack. The text
+render mirrors the reference's FULL section list and %.3f formatting
+(sample_reports/02_WebAccessLogSummaryRpt.txt; render order
+webAccessLogParser.sh:700-1290) — rendering happens at the EDGE over
+already-small aggregate frames; every number comes from a distributed
+aggregate (SURVEY §2.8: printf formatting is presentation, not
+computation). Per-dimension tables collect only bounded frames (hours ≤24,
+servers/was/domains/exts are low-cardinality, top-ks ≤10); the per-UID
+ranking stays a distributed top_k — uid cardinality is unbounded.
 """
 
 from __future__ import annotations
@@ -50,6 +55,7 @@ from log_parser_ray.stages.aggregate import (
     grouped_count,
     grouped_stats,
     sorted_combine,
+    top_k,
 )
 
 STATIC_EXTS = ["jpg", "gif", "png", "ico", "js", "cgi", "css", "htm", "html",
@@ -57,9 +63,13 @@ STATIC_EXTS = ["jpg", "gif", "png", "ico", "js", "cgi", "css", "htm", "html",
 RANGE_LABELS = [r[0] for r in RT_RANGES] + [RT_RANGE_OVER]
 
 # narrow projection carried to the report aggregates (everything else —
-# text, UA fields, cookies — exists only inside the fused task)
+# raw text, params, cookies — exists only inside the fused task). The
+# was/dt/tm/size/browser/os_name/domain columns exist to serve the
+# reference's full 02 section list (raw top-10, WS/WAS stats, browser/OS
+# usage, domain rollup).
 NARROW_COLS = ["sink", "hour", "uid", "jsession", "rt_us", "resp_range",
-               "response", "uri_path", "websrvr", "request", "ext"]
+               "response", "uri_path", "websrvr", "request", "ext",
+               "was", "dt", "tm", "size", "browser", "os_name", "domain"]
 
 # single-slot per-worker cache of the compiled parser (same economics as
 # route._FUSED_CACHE: one run's parameters at a time, no growth)
@@ -83,6 +93,89 @@ def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Ta
     full = _PARSE_CACHE[1](batch)
     write_batch_sinks(full, out_dir)
     return full.select(NARROW_COLS)
+
+
+def _prep(t: pa.Table) -> pa.Table:
+    """Derive the indicator columns every dimension shuffle shares:
+    is_app (static-ext exclusion), rt_app (app-only rt), per-range
+    indicators and their app-only twins."""
+    is_static = pc.is_in(t["ext"], value_set=pa.array(STATIC_EXTS))
+    is_app = pc.cast(pc.invert(is_static), pa.int64())
+    t = t.append_column("is_app", is_app)
+    t = t.append_column(
+        "rt_app", pc.multiply(pc.fill_null(t["rt_us"], 0), is_app)
+    )
+    for lbl in RANGE_LABELS:
+        ind = pc.cast(
+            pc.fill_null(pc.equal(t["resp_range"], lbl), False), pa.int64()
+        )
+        t = t.append_column(lbl, ind)
+        t = t.append_column(f"{lbl}_app", pc.multiply(ind, is_app))
+    return t
+
+
+def _dim_stats_ds(prepped: "ray.data.Dataset", dim: str) -> "ray.data.Dataset":
+    """Per-``dim``: irc (all rows), xrc (app rows), app-only rt sum and
+    app-only range counts — ONE fused two-phase shuffle per dimension."""
+    aggs = [("is_app", "sum"), ("rt_app", "sum"), ("", "count_all")] + [
+        (f"{lbl}_app", "sum") for lbl in RANGE_LABELS
+    ]
+    part = _mb(prepped, _partial([dim], aggs), batch_size=COMBINE_ROWS)
+    return sorted_combine(
+        part, [dim],
+        [("is_app_sum", "sum"), ("rt_app_sum", "sum"), ("count_all", "sum")]
+        + [(f"{lbl}_app_sum", "sum") for lbl in RANGE_LABELS],
+        renames={"is_app_sum_sum": "xrc", "rt_app_sum_sum": "sum_rt_app",
+                 "count_all_sum": "irc"}
+        | {f"{lbl}_app_sum_sum": f"_n_{lbl}" for lbl in RANGE_LABELS},
+        keep=[dim, "xrc", "sum_rt_app", "irc"]
+        + [f"_n_{lbl}" for lbl in RANGE_LABELS],
+    )
+
+
+def _finish_dim(df: pd.DataFrame) -> pd.DataFrame:
+    """art + per-range % (app-only) from a collected _dim_stats frame."""
+    df = df.copy()
+    df["art"] = (df["sum_rt_app"] / df["xrc"].where(df["xrc"] > 0) / 1e6).fillna(0.0).round(3)
+    denom = df["xrc"].where(df["xrc"] > 0)
+    for lbl in RANGE_LABELS:
+        df[lbl] = (100.0 * df[f"_n_{lbl}"] / denom).fillna(0.0).round(3)
+    return df.drop(columns=[f"_n_{lbl}" for lbl in RANGE_LABELS])
+
+
+def _dim_distincts(ok: "ray.data.Dataset", dim: str,
+                   specs: tuple = (("uuc", "uid"), ("jsc", "jsession"))
+                   ) -> pd.DataFrame:
+    """COUNT(DISTINCT val) per (dim, kind) — per-block dedup, global dedup,
+    tiny count, pivoted wide (one shuffle family per dimension)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for kind, col in specs:
+            parts.append(
+                pa.table(
+                    {
+                        dim: t[dim],
+                        "kind": pa.array([kind] * t.num_rows),
+                        "val": pc.cast(t[col], pa.string()),
+                    }
+                ).group_by([dim, "kind", "val"]).aggregate([])
+            )
+        return pa.concat_tables(parts)
+
+    dedup = sorted_combine(
+        _mb(ok, partial, batch_size=COMBINE_ROWS),
+        [dim, "kind", "val"], [], keep=[dim, "kind", "val"],
+    )
+    counts = grouped_count(dedup, [dim, "kind"], alias="n").to_pandas()
+    if counts.empty:
+        return pd.DataFrame(columns=[dim] + [k for k, _ in specs])
+    wide = counts.pivot_table(index=dim, columns="kind", values="n",
+                              aggfunc="sum", fill_value=0).reset_index()
+    for k, _ in specs:
+        if k not in wide.columns:
+            wide[k] = 0
+    return wide[[dim] + [k for k, _ in specs]]
 
 
 def run(
@@ -127,65 +220,134 @@ def run(
         lambda t: t.filter(pc.equal(t["sink"], "parsed")),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    prepped = _mb(ok, _prep)
 
-    def prep(t: pa.Table) -> pa.Table:
-        is_static = pc.is_in(t["ext"], value_set=pa.array(STATIC_EXTS))
-        is_app = pc.cast(pc.invert(is_static), pa.int64())
-        t = t.append_column("is_app", is_app)
-        # app-only rt sum rides the SAME shuffle (httpAvgRespTimeTh excludes
-        # static contents, thresholdValues.csv:6)
-        t = t.append_column(
-            "rt_app", pc.multiply(pc.fill_null(t["rt_us"], 0), is_app)
+    # hourly pass 1: counts + BOTH all-row and app-only sums, ONE shuffle
+    h_aggs = [("is_app", "sum"), ("rt_us", "sum"), ("rt_app", "sum"),
+              ("", "count_all")] \
+        + [(lbl, "sum") for lbl in RANGE_LABELS] \
+        + [(f"{lbl}_app", "sum") for lbl in RANGE_LABELS]
+
+    def hourly_fn() -> pd.DataFrame:
+        part = _mb(prepped, _partial(["hour"], h_aggs), batch_size=COMBINE_ROWS)
+        return sorted_combine(
+            part, ["hour"],
+            [("is_app_sum", "sum"), ("rt_us_sum", "sum"),
+             ("rt_app_sum", "sum"), ("count_all", "sum")]
+            + [(f"{lbl}_sum", "sum") for lbl in RANGE_LABELS]
+            + [(f"{lbl}_app_sum", "sum") for lbl in RANGE_LABELS],
+            renames={"is_app_sum_sum": "xrc", "rt_us_sum_sum": "sum_rt_us",
+                     "rt_app_sum_sum": "_sum_rt_app", "count_all_sum": "irc"}
+            | {f"{lbl}_sum_sum": f"_n_{lbl}" for lbl in RANGE_LABELS}
+            | {f"{lbl}_app_sum_sum": f"_na_{lbl}" for lbl in RANGE_LABELS},
+            keep=["hour", "xrc", "sum_rt_us", "_sum_rt_app", "irc"]
+            + [f"_n_{lbl}" for lbl in RANGE_LABELS]
+            + [f"_na_{lbl}" for lbl in RANGE_LABELS],
+        ).to_pandas()
+
+    # hourly pass 2: uuc + usc distincts over (hour, kind, val)
+    def uu_fn() -> pd.DataFrame:
+        return _dim_distincts(ok, "hour", (("uid", "uid"), ("usc", "jsession")))
+
+    def topslow_raw_fn() -> pd.DataFrame:
+        # K1: the 10 slowest raw responses with their render columns
+        # (block-pruned local top-k before the global sort)
+        cols = ["websrvr", "dt", "tm", "jsession", "was", "request",
+                "response", "rt_us", "resp_range", "size", "uid",
+                "uri_path", "browser"]
+        return top_k(
+            ok.map_batches(lambda t: t.select(cols), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            by=["rt_us", "uri_path", "tm"], descending=[True, False, False],
+            k=10,
+        ).to_pandas()
+
+    def top400_fn() -> pd.DataFrame:
+        # K3: top-10 400+ URLs by count
+        filt = ok.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(pc.greater_equal(t["response"], 400), False)
+            ).select(["response", "uri_path"]),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
-        for lbl in RANGE_LABELS:
-            t = t.append_column(
-                lbl, pc.cast(pc.fill_null(pc.equal(t["resp_range"], lbl), False),
-                             pa.int64())
+        counts = grouped_count(filt, ["response", "uri_path"], alias="cnt")
+        return top_k(counts, by=["cnt", "uri_path", "response"],
+                     descending=[True, False, False], k=10).to_pandas()
+
+    def uid_top5_fn() -> pd.DataFrame:
+        # K5: top-5 UIDs by app-only avg — uid cardinality is unbounded, so
+        # the ranking is a DISTRIBUTED top_k over the per-uid aggregate
+        stats = _dim_stats_ds(prepped, "uid")
+
+        def derive(t: pa.Table) -> pa.Table:
+            xrc = t["xrc"]
+            keep = pc.greater(xrc, 0)
+            t = t.filter(keep)
+            art = pc.round(
+                pc.divide(
+                    pc.divide(pc.cast(t["sum_rt_app"], pa.float64()),
+                              pc.cast(t["xrc"], pa.float64())),
+                    1e6,
+                ),
+                ndigits=3,
             )
-        return t
+            return t.append_column("art", art)
 
-    # hourly pass 1/2: counts + sums + range-indicator counts, ONE shuffle
-    aggs = [("is_app", "sum"), ("rt_us", "sum"), ("rt_app", "sum"),
-            ("", "count_all")] + [
-        (lbl, "sum") for lbl in RANGE_LABELS
-    ]
-    part = _mb(_mb(ok, prep), _partial(["hour"], aggs), batch_size=COMBINE_ROWS)
-    hourly = sorted_combine(
-        part,
-        ["hour"],
-        [("is_app_sum", "sum"), ("rt_us_sum", "sum"), ("rt_app_sum", "sum"),
-         ("count_all", "sum")]
-        + [(f"{lbl}_sum", "sum") for lbl in RANGE_LABELS],
-        renames={"is_app_sum_sum": "xrc", "rt_us_sum_sum": "sum_rt_us",
-                 "rt_app_sum_sum": "_sum_rt_app", "count_all_sum": "irc"}
-        | {f"{lbl}_sum_sum": f"_n_{lbl}" for lbl in RANGE_LABELS},
-        keep=["hour", "xrc", "sum_rt_us", "_sum_rt_app", "irc"]
-        + [f"_n_{lbl}" for lbl in RANGE_LABELS],
-    ).to_pandas()
+        derived = stats.map_batches(derive, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        df = top_k(derived, by=["art", "uid"], descending=[True, False],
+                   k=5).to_pandas()
+        return _finish_dim(df.drop(columns=["art"])) if len(df) else df
 
-    # hourly pass 2/2: uuc + usc from ONE two-phase distinct over
-    # (hour, kind, val) — per-block dedup, global dedup, tiny count
-    def uu_partial(t: pa.Table) -> pa.Table:
-        parts = []
-        for kind, col in (("uid", "uid"), ("usc", "jsession")):
-            parts.append(
-                pa.table(
-                    {
-                        "hour": t["hour"],
-                        "kind": pa.array([kind] * t.num_rows),
-                        "val": pc.cast(t[col], pa.string()),
-                    }
-                ).group_by(["hour", "kind", "val"]).aggregate([])
-            )
-        return pa.concat_tables(parts)
+    from concurrent.futures import ThreadPoolExecutor
 
-    uu_dedup = sorted_combine(
-        _mb(ok, uu_partial, batch_size=COMBINE_ROWS),
-        ["hour", "kind", "val"], [], keep=["hour", "kind", "val"],
-    )
-    uu = grouped_count(uu_dedup, ["hour", "kind"], alias="n").to_pandas()
-    uu_wide = uu.pivot_table(index="hour", columns="kind", values="n",
-                             aggfunc="sum", fill_value=0).reset_index()
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        f_hourly = ex.submit(hourly_fn)
+        f_uu = ex.submit(uu_fn)
+        f_rc = ex.submit(
+            lambda: grouped_count(ok, ["response"], alias="cnt")
+            .to_pandas().sort_values("response").reset_index(drop=True)
+        )
+        f_slow = ex.submit(
+            lambda: grouped_stats(ok, ["uri_path"], "rt_us",
+                                  count="n", sum_="s").to_pandas()
+        )
+        f_methods = ex.submit(
+            lambda: grouped_count(ok, ["websrvr", "request"], alias="n").to_pandas()
+        )
+        f_ws = ex.submit(lambda: _dim_stats_ds(prepped, "websrvr").to_pandas())
+        f_ws_d = ex.submit(lambda: _dim_distincts(ok, "websrvr"))
+        f_was = ex.submit(lambda: _dim_stats_ds(prepped, "was").to_pandas())
+        f_was_d = ex.submit(lambda: _dim_distincts(ok, "was"))
+        f_ext = ex.submit(lambda: _dim_stats_ds(prepped, "ext").to_pandas())
+        f_dom = ex.submit(lambda: _dim_stats_ds(prepped, "domain").to_pandas())
+        f_raw10 = ex.submit(topslow_raw_fn)
+        f_top400 = ex.submit(top400_fn)
+        f_uid5 = ex.submit(uid_top5_fn)
+        f_bw = ex.submit(
+            lambda: _dim_distincts(ok, "browser", (("cnt", "uid"),))
+        )
+        f_os = ex.submit(
+            lambda: _dim_distincts(ok, "os_name", (("cnt", "uid"),))
+        )
+        hourly = f_hourly.result()
+        uu_wide = f_uu.result()
+        rc = f_rc.result()
+        slow = f_slow.result()
+        methods = f_methods.result()
+        ws_stats = f_ws.result()
+        ws_dist = f_ws_d.result()
+        was_stats = f_was.result()
+        was_dist = f_was_d.result()
+        ext_stats = f_ext.result()
+        dom_stats = f_dom.result()
+        topslow_raw = f_raw10.result()
+        top400 = f_top400.result()
+        uid_top5 = f_uid5.result()
+        browser_usage = f_bw.result()
+        os_usage = f_os.result()
+
+    # ---- hourly table + daily totals --------------------------------------
     hourly = hourly.merge(uu_wide, on="hour", how="left")
     hourly["uuc"] = hourly["uid"].fillna(0).astype(int)
     hourly["usc"] = hourly["usc"].fillna(0).astype(int)
@@ -193,8 +355,6 @@ def run(
     denom = sum(hourly[f"_n_{lbl}"] for lbl in RANGE_LABELS)
     for lbl in RANGE_LABELS:
         hourly[lbl] = (100.0 * hourly[f"_n_{lbl}"] / denom).round(3).fillna(0.0)
-    # daily totals for the global http alert rules, captured before the
-    # helper columns are dropped from the report frame
     day_totals = {
         "irc": int(hourly["irc"].sum()) if len(hourly) else 0,
         "xrc": int(hourly["xrc"].sum()) if len(hourly) else 0,
@@ -202,31 +362,90 @@ def run(
         "n_1s": float(hourly[f"_n_{RANGE_LABELS[0]}"].sum()) if len(hourly) else 0.0,
         "n_over": float(hourly[f"_n_{RANGE_LABELS[-1]}"].sum()) if len(hourly) else 0.0,
     }
+    # app-only daily range counts for the Overall-Daily row
+    day_app = {lbl: float(hourly[f"_na_{lbl}"].sum()) if len(hourly) else 0.0
+               for lbl in RANGE_LABELS}
     hourly = (
         hourly.drop(columns=[f"_n_{lbl}" for lbl in RANGE_LABELS]
+                    + [f"_na_{lbl}" for lbl in RANGE_LABELS]
                     + ["uid", "_sum_rt_app"])
         .sort_values("hour")
         .reset_index(drop=True)
     )
 
-    # response-code table (A12)
-    rc = grouped_count(ok, ["response"], alias="cnt").to_pandas().sort_values("response")
-    total = int(rc["cnt"].sum())
-    rc["pc"] = (100.0 * rc["cnt"] / total).round(3)
-    rc = rc.reset_index(drop=True)
+    # Overall-Daily row (app-only art + ranges, webAccessLogParser.sh:823).
+    # Day-level distincts are NOT the hourly sums (a user active in two
+    # hours counts once) — one more distinct pass keyed by the constant
+    # sink column ('parsed' for every ok row ⇒ a single day-level group)
+    day_distinct = _dim_distincts(ok, "sink", (("uuc", "uid"), ("usc", "jsession")))
+    daily = {
+        "date": run_date or "NA",
+        "uuc": int(day_distinct["uuc"].sum()) if len(day_distinct) else 0,
+        "usc": int(day_distinct["usc"].sum()) if len(day_distinct) else 0,
+        "art": round(day_totals["sum_rt_app"] / day_totals["xrc"] / 1e6, 3)
+        if day_totals["xrc"] else 0.0,
+        "xrc": day_totals["xrc"],
+        "irc": day_totals["irc"],
+    }
+    for lbl in RANGE_LABELS:
+        daily[lbl] = (
+            round(100.0 * day_app[lbl] / day_totals["xrc"], 3)
+            if day_totals["xrc"] else 0.0
+        )
 
-    # top-10 slowest URIs by avg (K2)
-    slow = grouped_stats(ok, ["uri_path"], "rt_us", count="n", sum_="s").to_pandas()
+    # ---- per-WS / per-WAS statistics --------------------------------------
+    def srv_table(stats: pd.DataFrame, dist: pd.DataFrame, dim: str) -> pd.DataFrame:
+        if stats.empty:
+            return pd.DataFrame(
+                columns=[dim, "uuc", "jsc", "art"] + RANGE_LABELS
+                + ["xrpc", "irpc"])
+        df = _finish_dim(stats)
+        df = df.merge(dist, on=dim, how="left")
+        df["uuc"] = df["uuc"].fillna(0).astype(int)
+        df["jsc"] = df["jsc"].fillna(0).astype(int)
+        df["xrpc"] = (100.0 * df["xrc"] / max(day_totals["xrc"], 1)).round(3)
+        df["irpc"] = (100.0 * df["irc"] / max(day_totals["irc"], 1)).round(3)
+        return df.sort_values(dim).reset_index(drop=True)
+
+    ws_table = srv_table(ws_stats, ws_dist, "websrvr")
+    was_table = srv_table(was_stats, was_dist, "was")
+
+    # ---- response codes ----------------------------------------------------
+    total = int(rc["cnt"].sum()) if len(rc) else 0
+    if len(rc):
+        rc["pc"] = (100.0 * rc["cnt"] / total).round(3)
+
+    # ---- top-10 slowest URIs by avg (K2, kept from the earlier layout) ----
     slow["art"] = (slow["s"] / slow["n"] / 1e6).round(3)
     slow = slow.sort_values(["art", "uri_path"], ascending=[False, True]).head(10)
     slow = slow[["uri_path", "n", "art"]].reset_index(drop=True)
 
-    # method × server pivot (A10)
-    methods = grouped_count(ok, ["websrvr", "request"], alias="n").to_pandas()
+    # ---- domain top-5 by app-only avg -------------------------------------
+    dom5 = _finish_dim(dom_stats) if len(dom_stats) else dom_stats
+    if len(dom5):
+        dom5 = dom5[dom5["xrc"] > 0].sort_values(
+            ["art", "domain"], ascending=[False, True]).head(5)
+        dom5 = dom5[["domain", "art", "xrc"]].reset_index(drop=True)
 
-    # J5 global http rules — evaluated on the daily totals already in hand
-    # (no extra pass) through the ONE shared rule implementation
-    # (reports.global_http_alerts, also behind the access_alerts oracle)
+    # ---- extension summary (app rows only — static exts have no app rows) -
+    exts = _finish_dim(ext_stats) if len(ext_stats) else ext_stats
+    if len(exts):
+        exts = exts[exts["xrc"] > 0].sort_values(
+            ["art", "ext"], ascending=[False, True]).reset_index(drop=True)
+        exts = exts[["ext"] + RANGE_LABELS + ["xrc", "art"]]
+
+    # ---- browser / OS usage by distinct user ------------------------------
+    for usage in (browser_usage, os_usage):
+        if len(usage):
+            usage["pc"] = (100.0 * usage["cnt"] / max(daily["uuc"], 1)).round(3)
+    browser_usage = browser_usage.sort_values(
+        ["cnt", "browser"], ascending=[False, True]).reset_index(drop=True) \
+        if len(browser_usage) else browser_usage
+    os_usage = os_usage.sort_values(
+        ["cnt", "os_name"], ascending=[False, True]).reset_index(drop=True) \
+        if len(os_usage) else os_usage
+
+    # ---- alerts (shared rule helper, also behind the access_alerts oracle)
     from log_parser_ray.pipelines.reports import global_http_alerts
 
     n_disc = int(
@@ -251,24 +470,36 @@ def run(
         append_history(history_root, "access_response_codes", run_date, rc)
         append_history(history_root, "access_top_slow", run_date, slow)
         append_history(history_root, "access_alerts", run_date, alerts)
+        append_history(history_root, "access_daily",
+                       run_date, pd.DataFrame([daily]))
 
-    report = _render_report(hourly, rc, total, slow)
+    tables = {
+        "hourly": hourly, "daily": daily, "ws": ws_table, "was": was_table,
+        "response_codes": rc, "topslow_raw": topslow_raw, "top400": top400,
+        "domain_top5": dom5, "uid_top5": uid_top5, "extensions": exts,
+        "browser_usage": browser_usage, "os_usage": os_usage,
+        "top_slow": slow, "methods": methods, "total": total,
+        "alerts": alerts, "sink_counts": sink_hist,
+    }
+    report = _render_report(tables)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
     with open(rpt_path, "w") as fh:
         fh.write(report)
-    for name, df in [("hourly", hourly), ("response_codes", rc),
-                     ("top_slow", slow), ("methods", methods),
-                     ("alerts", alerts)]:
-        df.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
-    return {"hourly": hourly, "response_codes": rc, "top_slow": slow,
-            "methods": methods, "total": total, "report_path": rpt_path,
-            "alerts": alerts, "sink_counts": sink_hist}
+    for name in ("hourly", "response_codes", "top_slow", "methods", "alerts",
+                 "ws", "was", "top400", "extensions", "browser_usage",
+                 "os_usage"):
+        df = tables[name]
+        if isinstance(df, pd.DataFrame):
+            df.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+    tables["report_path"] = rpt_path
+    return tables
 
 
-def _render_report(hourly: pd.DataFrame, rc: pd.DataFrame, total: int,
-                   slow: pd.DataFrame) -> str:
-    """The reference's summary-report layout (sample_reports/02_*.txt)."""
+def _render_report(t: dict) -> str:
+    """The reference's FULL 02 summary-report layout
+    (sample_reports/02_WebAccessLogSummaryRpt.txt, all sections)."""
     bar = "=" * 53
+    hourly, rc, slow = t["hourly"], t["response_codes"], t["top_slow"]
     out = [bar, "===== Http Access log analysis report =====", bar, "",
            bar, "===== Hourly Statistics =====", bar, ""]
     hdr = ["hr", "uuc", "usc", "art"] + RANGE_LABELS + ["xrc", "irc"]
@@ -278,11 +509,102 @@ def _render_report(hourly: pd.DataFrame, rc: pd.DataFrame, total: int,
         row += [f"{r[l]:.3f}" for l in RANGE_LABELS]
         row += [int(r["xrc"]), int(r["irc"])]
         out.append("\t".join(f"{v:>7}" for v in row))
-    out += ["", bar, "===== Statistics by HTTP response code =====", bar, ""]
+
+    d = t["daily"]
+    out += ["", bar, "===== Overall-Daily Statistics =====",
+            "Note: Overall response range and average response time excludes "
+            "static contents from calculation:",
+            f"excludes with these extensions: {'|'.join(STATIC_EXTS)}", bar, ""]
+    out.append("\t".join(f"{h:>7}" for h in
+                         ["date", "uuc", "usc", "art"] + RANGE_LABELS
+                         + ["xrc", "irc"]))
+    drow = [d["date"], d["uuc"], d["usc"], f"{d['art']:.3f}"]
+    drow += [f"{d[l]:.3f}" for l in RANGE_LABELS]
+    drow += [d["xrc"], d["irc"]]
+    out.append("\t".join(f"{v:>7}" for v in drow))
+
+    out += ["", bar, "===== Statistics by Web Server(IHS)  and WebSphere "
+                     "App Server (WAS) =====", bar, ""]
+    out.append("\t".join(
+        ["srv".ljust(28)] + [f"{h:>5}" for h in ["uuc", "jsc", "art"]
+                             + RANGE_LABELS + ["xrpc", "irpc"]]))
+    for frame, dim in ((t["ws"], "websrvr"), (t["was"], "was")):
+        for _, r in frame.iterrows():
+            row = [str(r[dim]).ljust(28), int(r["uuc"]), int(r["jsc"]),
+                   f"{r['art']:.3f}"]
+            row += [f"{r[l]:.3f}" for l in RANGE_LABELS]
+            row += [f"{r['xrpc']:.3f}", f"{r['irpc']:.3f}"]
+            out.append("\t".join(str(v) for v in row))
+        out.append("")
+
+    out += [bar, "===== Statistics by HTTP response code =====", bar, ""]
     out.append("rsp\tcnt\tpc")
     for _, r in rc.iterrows():
         out.append(f"{int(r['response'])}\t{int(r['cnt'])}\t{r['pc']:7.3f}")
-    out.append(f"Total response count: {total}")
+    out.append(f"Total response count: {t['total']}")
+
+    out += ["", bar, "===== Top 10 (slowest) responses by Response Time =====",
+            bar, ""]
+    out.append("ws         \tdate      \ttime    \tjs                  \twas     "
+               "\treq   \trsp\t       rt\t  rng\t      sz\tuid               \turl")
+    for _, r in t["topslow_raw"].iterrows():
+        out.append(
+            f"{r['websrvr']:<11}\t{r['dt']:<10}\t{r['tm']:<8}\t"
+            f"{str(r['jsession']):<20}\t{str(r['was']):<8}\t{r['request']:<6}\t"
+            f"{int(r['response']) if pd.notna(r['response']) else 0}\t"
+            f"{r['rt_us'] / 1e6:>9.3f}\t"
+            f"{str(r['resp_range']):>5}\t"
+            f"{int(r['size']) if pd.notna(r['size']) else 0:>8}\t"
+            f"{str(r['uid']):<18}\t{r['uri_path']}"
+        )
+
+    out += ["", bar, "===== Top 10 (by count) URL ending with HTTP response "
+                     "code 400 and higher =====", bar, ""]
+    out.append("rsp\t       cnt\turl")
+    for _, r in t["top400"].iterrows():
+        out.append(f"{int(r['response'])}\t{int(r['cnt']):>10}\t{r['uri_path']}")
+
+    out += ["", bar, "===== Summary by Domain - Top 5 (slowest) by average "
+                     "response time =====",
+            "Note: Domain response range and average response time excludes "
+            "static contents from calculation:", bar, ""]
+    out.append("name                \t    art\t     xrc")
+    for _, r in t["domain_top5"].iterrows():
+        out.append(f"{str(r['domain']):<20}\t{r['art']:>7.3f}\t{int(r['xrc']):>8}")
+
+    out += ["", bar, "===== Top 5 (slowest) UIDs by Average Response Time "
+                     "=====", bar, ""]
+    out.append("uid                           " + "\t".join(
+        [f"{l:>8}" for l in RANGE_LABELS] + ["     xrc", "    art"]))
+    for _, r in t["uid_top5"].iterrows():
+        row = [str(r["uid"]).ljust(30)]
+        row += [f"{r[l]:>8.3f}" for l in RANGE_LABELS]
+        row += [f"{int(r['xrc']):>8}", f"{r['art']:>7.3f}"]
+        out.append("\t".join(row))
+
+    out += ["", bar, "===== Summary by Extension =====", bar, ""]
+    out.append("Ext                 " + "\t".join(
+        [f"{l:>8}" for l in RANGE_LABELS] + ["     cnt", "    art"]))
+    for _, r in t["extensions"].iterrows():
+        row = [str(r["ext"]).ljust(20)]
+        row += [f"{r[l]:>8.3f}" for l in RANGE_LABELS]
+        row += [f"{int(r['xrc']):>8}", f"{r['art']:>7.3f}"]
+        out.append("\t".join(row))
+
+    out += ["", bar, "===== Browser Usage Statistics =====",
+            "cnt - total number of unique user using this browser",
+            "pc   - percentage usage of this browser", bar, ""]
+    out.append("Browser                                      \t      cnt\t     pc")
+    for _, r in t["browser_usage"].iterrows():
+        out.append(f"{str(r['browser']):<45}\t{int(r['cnt']):>9}\t{r['pc']:>7.3f}")
+
+    out += ["", bar, "===== OS Usage Statistics =====",
+            "cnt - total number of unique user using this OS",
+            "pc   - percentage usage of this OS", bar, ""]
+    out.append("OS                                           \t      cnt\t     pc")
+    for _, r in t["os_usage"].iterrows():
+        out.append(f"{str(r['os_name']):<45}\t{int(r['cnt']):>9}\t{r['pc']:>7.3f}")
+
     out += ["", bar, "===== Top 10 (slowest) URIs by avg response time =====",
             bar, ""]
     out.append("uri\tcnt\tart")

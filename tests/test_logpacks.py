@@ -319,6 +319,36 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
         assert got == round(pct400, 6)
     # discarded-count rule sees the sink histogram
     assert "sink_counts" in res and "sink" in res["sink_counts"].columns
+    # full 02 layout: every reference section renders, daily row arithmetic
+    for section in [
+        "===== Overall-Daily Statistics =====",
+        "===== Statistics by Web Server(IHS)  and WebSphere App Server (WAS) =====",
+        "===== Top 10 (slowest) responses by Response Time =====",
+        "===== Top 10 (by count) URL ending with HTTP response code 400 and higher =====",
+        "===== Summary by Domain - Top 5 (slowest) by average response time =====",
+        "===== Top 5 (slowest) UIDs by Average Response Time =====",
+        "===== Summary by Extension =====",
+        "===== Browser Usage Statistics =====",
+        "===== OS Usage Statistics =====",
+    ]:
+        assert section in txt, section
+    d = res["daily"]
+    assert d["irc"] == res["total"]
+    assert d["xrc"] == int(res["hourly"]["xrc"].sum())
+    # day-level distinct users vs the truth (NOT the hourly sum)
+    t_uuc = con.execute(
+        "WITH " + access_truth_cte()
+        + " SELECT COUNT(DISTINCT uid) FROM access_truth WHERE sink = 'parsed'"
+    ).fetchone()[0]
+    assert d["uuc"] == t_uuc
+    # per-WS share percentages cover the day
+    assert abs(res["ws"]["irpc"].sum() - 100.0) < 0.1
+    assert abs(res["ws"]["xrpc"].sum() - 100.0) < 0.1
+    # raw top-10 is sorted by rt descending and ≤10 rows
+    raw = res["topslow_raw"]
+    assert len(raw) <= 10 and (raw["rt_us"].diff().dropna() <= 0).all()
+    # 400+ table only has 400+ codes
+    assert (res["top400"]["response"] >= 400).all()
 
 
 def test_master_orchestrator(ray_session, sf_dir, tmp_path):
