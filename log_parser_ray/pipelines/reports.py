@@ -192,6 +192,25 @@ def _prefix_alerts(
     return pd.DataFrame(rows, columns=["rule", "key", "value", "threshold"])
 
 
+def filtered_error_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """ST4 on the real WAS pack: per-(srv, msg) counts of lines matching the
+    WASCustomFilter patterns (websphereLogParser.sh:99-101,619-650 — the
+    .filter stream and its Critical-or-Filtered-Error summary)."""
+    import re as _re
+
+    from log_parser_ray.schema import FILTER_PATTERNS
+
+    union_rx = "|".join(f"(?:{p})" for p in FILTER_PATTERNS)
+
+    def fn(t: pa.Table) -> pa.Table:
+        hit = pc.is_valid(pc.extract_regex(t["msg"], f"(?P<v>{union_rx})"))
+        sub = t.filter(hit)
+        return pa.table({"srv": sub["srv"], "msg": sub["msg"]})
+
+    rows = parsed.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count(rows, ["srv", "msg"], alias="cnt")
+
+
 def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
     """All 01-report tables as collected (bounded) frames + alert rows.
 
@@ -287,6 +306,9 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
                 ["srv", "dt", "line_id", "dtm", "thread", "component", "msg"],
             )
         )
+        f_filt = ex.submit(
+            lambda: _df(filtered_error_counts(parsed), ["srv", "msg", "cnt"])
+        )
         srv_evt = f_srv.result().sort_values(
             ["srv", "evt_type"]).reset_index(drop=True)
         cmp_counts = f_cmp.result()
@@ -301,6 +323,7 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
             ["total_delay_s", "srv"], ascending=[False, True]
         ).reset_index(drop=True)
         oom = f_oom.result().sort_values(["srv", "dt"]).reset_index(drop=True)
+        filt = f_filt.result().sort_values(["srv", "msg"]).reset_index(drop=True)
 
     # hung threads: details + per-server nhtc/mhtc/rhtc
     HUNG_COLS = ["line_id", "srv", "dt", "tm", "tz", "hr", "woct", "thid",
@@ -350,6 +373,7 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
         "starv_detail": starv_detail,
         "starv_summary": starv_summary,
         "oom": oom,
+        "filtered": filt,
     }
 
     # per-family threshold alerts (websphereLogParser.sh:345-379,416-439)
@@ -369,6 +393,15 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
         alerts.append(_prefix_alerts(hung_summary, family="was",
                                      prop="wasHungThrdCntTh",
                                      key_col="srv", value_col="mhtc"))
+    if len(filt):
+        # every filtered/critical hit alerts unconditionally, like the
+        # reference's per-entry alrtF line (websphereLogParser.sh:645-648)
+        alerts.append(pd.DataFrame({
+            "rule": "was.filter.criticalError",
+            "key": filt["srv"].astype(str) + " | " + filt["msg"].astype(str),
+            "value": filt["cnt"].astype(float),
+            "threshold": 0.0,
+        }))
     nonempty = [a for a in alerts if len(a)]
     tables["alerts"] = (
         pd.concat(nonempty, ignore_index=True)
@@ -450,6 +483,17 @@ def render_was_summary(t: dict, *, record_date: str = "") -> str:
                 f"{r['srv']:<15}\t{r['dt']:<10}\t{r['thread']:<8}\t"
                 f"{r['component']:<13}\t{r['msg']}"
             )
+        out.append("")
+
+    if len(t["filtered"]):
+        out += [BAR, "===== Critical or Filtere Error Summary =====", BAR, ""]
+        out.append("was            \t    cnt\tmsg")
+        for _, r in t["filtered"].iterrows():
+            out.append(f"{r['srv']:<15}\t{int(r['cnt']):>7}\t{r['msg']}")
+        out.append(
+            "Total critical or filtered error for all servers:"
+            f"{int(t['filtered']['cnt'].sum())}"
+        )
         out.append("")
 
     out += [BAR, "===== Summary of Error and Warning count by Server =====",

@@ -58,6 +58,9 @@ WAS_LINES = [
     'AppSrv02 [2/3/17 10:15:08:674 EST] 00000049 CoordinatorCo W '
     'HMGR0152W: CPU Starvation detected. Current thread scheduling delay '
     'is 6 seconds.',
+    # a WASCustomFilter pattern hit (CORBA.NO_RESPONSE)
+    'AppSrv01 [2/3/17 7:05:00:000 EST] 0000000c OrbWorker E '
+    'ORBX0390E: orb.Err Remote request failed CORBA.NO_RESPONSE detail',
     # errors with class/exception/message tokens + an OOM
     'AppSrv01 [2/3/17 7:00:00:000 EST] 0000000a ServletWrappe E '
     'SRVE0068E: servlet.Err Uncaught exception in servlet alpha',
@@ -119,6 +122,21 @@ def test_msg_dimensions_and_counts(was_tables):
     assert len(oom) == 1 and "OutOfMemoryError" in oom.iloc[0]["msg"]
 
 
+def test_filtered_error_section(was_tables):
+    """ST4 on the real pack: WASCustomFilter hits counted per (srv, msg)
+    and alerted unconditionally (websphereLogParser.sh:619-650)."""
+    f = was_tables["filtered"]
+    # two pattern families hit: the CORBA line AND the OutOfMemory line
+    # (FILTER_PATTERNS has both — the OOM text matches 'OutOfMemory')
+    assert len(f) == 2
+    assert set(f["srv"]) == {"AppSrv01"}
+    assert any("CORBA.NO_RESPONSE" in m for m in f["msg"])
+    assert any("OutOfMemoryError" in m for m in f["msg"])
+    al = was_tables["alerts"]
+    crit = al[al["rule"] == "was.filter.criticalError"]
+    assert len(crit) == 2 and (crit["value"] == 1.0).all()
+
+
 def test_family_threshold_alerts(was_tables):
     al = was_tables["alerts"]
     # AppSrv02 has 3 CPU starvations > was.App.wasCPUStarvCntTh=2
@@ -141,6 +159,7 @@ def test_render_was_summary_layout(was_tables):
         "===== Transaction Timeout =====",
         "===== CPU Starvation Warnings =====",
         "===== Out of Memory Error =====",
+        "===== Critical or Filtere Error Summary =====",
         "===== Summary of Error and Warning count by Server =====",
         "ERROR and FATAL events by component",
         "WARN events by component",
@@ -150,8 +169,8 @@ def test_render_was_summary_layout(was_tables):
         assert section in txt, section
     assert "Total New Hung Threads in the system: 2" in txt
     assert "total Transaction timeout on all JVMs:1" in txt
-    # per-server count row arithmetic: 5 E + 4 W on AppSrv01/02
-    assert "Total for all servers:9" in txt
+    # per-server count row arithmetic: 6 E + 4 W on AppSrv01/02
+    assert "Total for all servers:10" in txt
 
 
 def test_gc_summary_tables_and_render(ray_session, sf_dir):
