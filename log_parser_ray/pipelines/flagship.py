@@ -145,11 +145,11 @@ def run(
     ccs_empty = ccs.count() == 0  # metadata-only: ccs is materialized
 
     # GRAFT_NARROW_DICT lever: the narrow blocks carry int8 CODES for
-    # sink/category (route.EnrichWriteProject). Decode LAZILY — the coded
-    # ccs stays the only materialized conv-keyed copy (re-materializing a
-    # decoded twin would double the object-store footprint the coding just
-    # saved); each consumer's decode map re-runs from the coded blocks,
-    # which is per-row arithmetic on post-aggregate data, no shuffle.
+    # sink/category (route.EnrichWriteProject). Decode ONCE, eagerly: the
+    # downstream derivations run through group_safe_map, which MATERIALIZES
+    # its input — a lazy decode would therefore re-execute AND re-pin one
+    # decoded copy per consumer (3×), where a single decoded materialize is
+    # shared by all of them; rebinding `ccs` releases the coded blocks.
     sch = ccs.schema()
     if sch is not None and "sink" in sch.names and pa.types.is_integer(
         sch.base_schema.field("sink").type
@@ -168,7 +168,7 @@ def run(
 
         ccs = ccs.map_batches(
             _decode, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ).materialize()
         if "sink" in hourly.columns:
             hourly["sink"] = hourly["sink"].map(dict(enumerate(SINK_ORDER)))
 
