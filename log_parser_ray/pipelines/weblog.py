@@ -216,6 +216,15 @@ def run(
     # filter instead of pinning a second near-full copy of the narrow table
     narrow = narrow.materialize()
     sink_hist = grouped_count(narrow, ["sink"], alias="n").to_pandas()
+    n_parsed = (
+        int(sink_hist.loc[sink_hist["sink"] == "parsed", "n"].sum())
+        if "sink" in sink_hist.columns else 0
+    )
+    if n_parsed == 0:
+        # a file with no parseable access lines (everything routed to the
+        # unparsed/discarded sinks): emit an empty-but-typed report set
+        # instead of KeyError'ing on column-less aggregate frames
+        return _empty_result(out_dir, sink_hist, history_root, run_date)
     ok = narrow.map_batches(
         lambda t: t.filter(pc.equal(t["sink"], "parsed")),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -612,3 +621,56 @@ def _render_report(t: dict) -> str:
         out.append(f"{r['uri_path']}\t{int(r['n'])}\t{r['art']:.3f}")
     out.append("")
     return "\n".join(out)
+
+
+def _empty_result(out_dir: str, sink_hist: pd.DataFrame,
+                  history_root: str | None, run_date: str | None) -> dict:
+    """Typed empty report set for a run whose input had no parseable access
+    lines — same keys/columns as the normal result so callers never branch."""
+    hourly = pd.DataFrame(
+        columns=["hour", "xrc", "sum_rt_us", "irc", "uuc", "usc", "art"]
+        + RANGE_LABELS)
+    rc = pd.DataFrame(columns=["response", "cnt", "pc"])
+    daily = {"date": run_date or "NA", "uuc": 0, "usc": 0, "art": 0.0,
+             "xrc": 0, "irc": 0} | {lbl: 0.0 for lbl in RANGE_LABELS}
+    dim_cols = ["uuc", "jsc", "art"] + RANGE_LABELS + ["xrpc", "irpc"]
+    empty = pd.DataFrame
+    tables = {
+        "hourly": hourly, "daily": daily,
+        "ws": empty(columns=["websrvr"] + dim_cols),
+        "was": empty(columns=["was"] + dim_cols),
+        "response_codes": rc,
+        "topslow_raw": empty(columns=["websrvr", "dt", "tm", "jsession",
+                                      "was", "request", "response", "rt_us",
+                                      "resp_range", "size", "uid",
+                                      "uri_path", "browser"]),
+        "top400": empty(columns=["response", "uri_path", "cnt"]),
+        "domain_top5": empty(columns=["domain", "art", "xrc"]),
+        "uid_top5": empty(columns=["uid", "xrc", "sum_rt_app", "irc", "art"]
+                          + RANGE_LABELS),
+        "extensions": empty(columns=["ext"] + RANGE_LABELS + ["xrc", "art"]),
+        "browser_usage": empty(columns=["browser", "cnt", "pc"]),
+        "os_usage": empty(columns=["os_name", "cnt", "pc"]),
+        "top_slow": empty(columns=["uri_path", "n", "art"]),
+        "methods": empty(columns=["websrvr", "request", "n"]),
+        "total": 0,
+        "sink_counts": sink_hist,
+    }
+    from log_parser_ray.pipelines.reports import global_http_alerts
+
+    n_disc = int(
+        sink_hist.loc[sink_hist["sink"] == "discarded", "n"].sum()
+    ) if "sink" in sink_hist.columns else 0
+    tables["alerts"] = global_http_alerts(
+        {"n_ok": 0, "n_app": 0, "sum_rt_app": 0.0, "n_1s": 0, "n_over": 0,
+         "n_400": 0, "n_disc": n_disc})
+    if history_root is not None and run_date is not None:
+        from log_parser_ray.state.history import append_history
+
+        append_history(history_root, "access_hourly", run_date, hourly)
+        append_history(history_root, "access_alerts", run_date, tables["alerts"])
+    rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
+    with open(rpt_path, "w") as fh:
+        fh.write(_render_report(tables))
+    tables["report_path"] = rpt_path
+    return tables

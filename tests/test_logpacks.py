@@ -658,3 +658,19 @@ def test_master_error_family_without_mpmstats(ray_session, tmp_path):
     assert not os.path.exists(
         os.path.join(out, "error", "WebErrorLogMpmStatsRpt_all.csv")
     )
+
+
+def test_weblog_no_parseable_lines(ray_session, tmp_path):
+    """A file with zero parseable access lines yields an empty-but-typed
+    report set (no KeyError on column-less frames); the report file still
+    renders and the sink histogram shows where the lines went."""
+    from log_parser_ray.pipelines import weblog
+
+    (tmp_path / "access_log.bad").write_text("garbage line\nanother one\n")
+    res = weblog.run(str(tmp_path), str(tmp_path / "out"),
+                     file_pattern="access_log")
+    assert res["total"] == 0
+    assert len(res["hourly"]) == 0 and "hour" in res["hourly"].columns
+    assert len(res["alerts"]) == 0
+    assert os.path.isfile(res["report_path"])
+    assert int(res["sink_counts"]["n"].sum()) == 2
