@@ -236,6 +236,36 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
              ("is_severe", pa.bool_())]
         ),
     )
+    if parsed.count() == 0:
+        # no parseable SystemOut lines at all: empty-but-typed tables
+        # (column-less frames would KeyError at the sort/render edges)
+        e = pd.DataFrame
+        t10 = ["cnt", "evt_type"]
+        return {
+            "srv_evt": e(columns=["srv", "evt_type", "cnt"]),
+            "top_err_cmp": e(columns=["component"] + t10),
+            "top_warn_cmp": e(columns=["component"] + t10),
+            "top_err_cls": e(columns=["cls"] + t10),
+            "top_warn_cls": e(columns=["cls"] + t10),
+            "top_err_exp": e(columns=["exp"] + t10),
+            "top_warn_exp": e(columns=["exp"] + t10),
+            "top_err_msg": e(columns=["msg"] + t10),
+            "top_warn_msg": e(columns=["msg"] + t10),
+            "hung_detail": e(columns=["line_id", "srv", "dt", "tm", "tz",
+                                      "hr", "woct", "thid", "htm_s", "chtc",
+                                      "sts"]),
+            "hung_summary": e(columns=["srv", "nhtc", "mhtc", "rhtc"]),
+            "tto_detail": e(columns=["line_id", "srv", "thread", "tran_id",
+                                     "timeout_s", "declare_line"]),
+            "tto_by_jvm": e(columns=["srv", "cnt"]),
+            "starv_detail": e(columns=["srv", "dt", "tm", "tz", "line_id",
+                                       "dly"]),
+            "starv_summary": e(columns=["srv", "n", "total_delay_s"]),
+            "oom": e(columns=["srv", "dt", "line_id", "dtm", "thread",
+                              "component", "msg"]),
+            "filtered": e(columns=["srv", "msg", "cnt"]),
+            "alerts": e(columns=["rule", "key", "value", "threshold"]),
+        }
 
     # per-server event counts (excluding the reference's I/A info branch)
     nonx = parsed.map_batches(

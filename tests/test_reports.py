@@ -288,3 +288,19 @@ def test_error_summary_report(ray_session, sf_dir, tmp_path):
     assert "===== Http Error Count by Web Server =====" in txt
     assert f"Total http error count: {parsed.count()}" in txt
     assert "===== Http Error Count by Http Referrer =====" in txt
+
+
+def test_was_tables_no_parseable_lines(ray_session):
+    """A SystemOut stream with zero parseable lines yields empty-but-typed
+    tables and a renderable report (no KeyError on column-less frames)."""
+    from log_parser_ray.pipelines.reports import (
+        render_was_summary,
+        was_summary_tables,
+    )
+    from log_parser_ray.stages.waslog import parse_was_lines
+
+    t = was_summary_tables(parse_was_lines(lines_ds(["garbage", "junk"])))
+    assert len(t["srv_evt"]) == 0 and "srv" in t["srv_evt"].columns
+    assert len(t["alerts"]) == 0
+    txt = render_was_summary(t, record_date="2024-01-01")
+    assert "===== WAS log analysis report =====" in txt
