@@ -111,7 +111,7 @@ def run(
             )
         )
 
-    if _has_files(log_dir, FAMILIES["access"]):
+    def run_access() -> None:
         t0 = time.perf_counter()
         res = weblog.run(
             log_dir, os.path.join(out_dir, "access"),
@@ -122,7 +122,7 @@ def run(
         all_alerts.append(res["alerts"])
         record("access", int(res["hourly"]["irc"].sum()), t0)
 
-    if _has_files(log_dir, FAMILIES["error"]):
+    def run_error() -> None:
         from log_parser_ray.stages.aggregate import argmax_by
         from log_parser_ray.stages.errorlog import referrer_error_ranking
 
@@ -178,7 +178,7 @@ def run(
                 key_col="srv", value_col="bsy"))
         record("error", int(errs.count()), t0)
 
-    if _has_files(log_dir, FAMILIES["was"]):
+    def run_was() -> None:
         t0 = time.perf_counter()
         parsed = parse_was_lines(lines_for(FAMILIES["was"])).materialize()
         parsed.write_parquet(os.path.join(out_dir, "was", "rows"))
@@ -209,7 +209,7 @@ def run(
                  if len(rec) else rec)
         record("was", int(parsed.count()), t0)
 
-    if _has_files(log_dir, FAMILIES["gc"]):
+    def run_gc() -> None:
         from log_parser_ray.stages.gclog import (
             parse_gc_invocations,
             reassemble_gc_blocks,
@@ -235,6 +235,52 @@ def run(
         all_alerts.append(gt["alerts"])
         hist("gc_daily_summary", gt["daily"])
         record("gc", int(gc.count()) + n_inv, t0)
+
+    # the four family pipelines are independent — run them CONCURRENTLY on
+    # driver threads (the reference runs its parsers sequentially,
+    # masterLogParser.sh:30-42; Ray interleaves their stages across the
+    # cluster). results/all_alerts mutations and manifest appends are
+    # GIL-/O_APPEND-safe; a family failure propagates.
+    #
+    # Neutralize Ray's lazy fsspec-http probe first: with aiohttp absent,
+    # `fsspec.implementations.http` FAILS on every import (a failed module
+    # is never cached), so each family thread's first read re-executes it
+    # and two concurrent imports race — the loser sees the partially
+    # initialized module and raises a bare ImportError that Ray's
+    # `except ModuleNotFoundError` misses. Pre-seeding a stub module (with
+    # a sentinel HTTPFileSystem no filesystem is an instance of) makes the
+    # probe a cached no-op; semantics are unchanged — without aiohttp no
+    # HTTP filesystem can exist.
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        _stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # sentinel: nothing is an instance
+            pass
+
+        _stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = _stub
+    except Exception:
+        pass
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    family_fns = [
+        fn
+        for fam, fn in (("access", run_access), ("error", run_error),
+                        ("was", run_was), ("gc", run_gc))
+        if _has_files(log_dir, FAMILIES[fam])
+    ]
+    # GRAFT_MASTER_SEQ=1 forces sequential families (A/B probe knob)
+    workers = 1 if os.environ.get("GRAFT_MASTER_SEQ") == "1" else 4
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futures = [ex.submit(fn) for fn in family_fns]
+        for f in futures:
+            f.result()
 
     # combined alert sink — the reference appends every family's alert
     # lines to ONE alert file per run (websphereLogParser.sh alrtF)
