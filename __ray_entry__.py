@@ -523,15 +523,25 @@ def q_access_baseline_deviation(sf_dir: str):
 
 
 def q_access_top_slow_uris(sf_dir: str):
-    """K2: top-10 URIs by average response time."""
+    """K2: top-10 URIs by average response time — avg derived in a
+    map_batches over the per-URI aggregate, then a DISTRIBUTED top_k
+    (uri cardinality is unbounded; the full frame never reaches the driver,
+    webAccessLogParser.sh:1265-1267 sorts the same per-URI averages)."""
     stats = grouped_stats(
         _access_parsed(sf_dir), ["uri_path"], "rt_us", count="n", sum_="sum_rt_us"
-    ).to_pandas()
-    stats["avg_rt_us"] = (stats["sum_rt_us"] / stats["n"]).round(6)
-    return (
-        stats.sort_values(["avg_rt_us", "uri_path"], ascending=[False, True])
-        .head(10)
-        .reset_index(drop=True)
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(pc.cast(t["sum_rt_us"], pa.float64()),
+                      pc.cast(t["n"], pa.float64())),
+            ndigits=6,
+        )
+        return t.append_column("avg_rt_us", avg)
+
+    return top_k(
+        stats.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        by=["avg_rt_us", "uri_path"], descending=[True, False], k=10,
     )
 
 

@@ -283,6 +283,31 @@ def run(
         return top_k(counts, by=["cnt", "uri_path", "response"],
                      descending=[True, False, False], k=10).to_pandas()
 
+    def top_slow_uri_fn() -> pd.DataFrame:
+        # K2: top-10 slowest URIs by avg — uri_path cardinality is unbounded
+        # (millions at crawl scale), so derive art per URI in a map_batches
+        # over the per-URI aggregate Dataset and take a DISTRIBUTED top_k
+        # (the uid_top5_fn shape) instead of collecting the full frame
+        stats = grouped_stats(ok, ["uri_path"], "rt_us", count="n", sum_="s")
+
+        def derive(t: pa.Table) -> pa.Table:
+            art = pc.round(
+                pc.divide(
+                    pc.divide(pc.cast(t["s"], pa.float64()),
+                              pc.cast(t["n"], pa.float64())),
+                    1e6,
+                ),
+                ndigits=3,
+            )
+            return t.append_column("art", art)
+
+        df = top_k(
+            stats.map_batches(derive, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            by=["art", "uri_path"], descending=[True, False], k=10,
+        ).to_pandas()
+        return df[["uri_path", "n", "art"]].reset_index(drop=True)
+
     def uid_top5_fn() -> pd.DataFrame:
         # K5: top-5 UIDs by app-only avg — uid cardinality is unbounded, so
         # the ranking is a DISTRIBUTED top_k over the per-uid aggregate
@@ -317,10 +342,7 @@ def run(
             lambda: grouped_count(ok, ["response"], alias="cnt")
             .to_pandas().sort_values("response").reset_index(drop=True)
         )
-        f_slow = ex.submit(
-            lambda: grouped_stats(ok, ["uri_path"], "rt_us",
-                                  count="n", sum_="s").to_pandas()
-        )
+        f_slow = ex.submit(top_slow_uri_fn)
         f_methods = ex.submit(
             lambda: grouped_count(ok, ["websrvr", "request"], alias="n").to_pandas()
         )
@@ -423,11 +445,6 @@ def run(
     total = int(rc["cnt"].sum()) if len(rc) else 0
     if len(rc):
         rc["pc"] = (100.0 * rc["cnt"] / total).round(3)
-
-    # ---- top-10 slowest URIs by avg (K2, kept from the earlier layout) ----
-    slow["art"] = (slow["s"] / slow["n"] / 1e6).round(3)
-    slow = slow.sort_values(["art", "uri_path"], ascending=[False, True]).head(10)
-    slow = slow[["uri_path", "n", "art"]].reset_index(drop=True)
 
     # ---- domain top-5 by app-only avg -------------------------------------
     dom5 = _finish_dim(dom_stats) if len(dom_stats) else dom_stats
