@@ -65,7 +65,10 @@ def run(
         _prefix_alerts,
     )
     from log_parser_ray.sources.rawlogs import read_raw_logs
-    from log_parser_ray.stages.errorlog import parse_error_lines, parse_mpmstats
+    from log_parser_ray.stages.errorlog import (
+        parse_error_families,
+        split_error_families,
+    )
     from log_parser_ray.stages.gclog import parse_gc_lines
     from log_parser_ray.stages.waslog import parse_was_lines, tto_correlate
 
@@ -127,12 +130,16 @@ def run(
         from log_parser_ray.stages.errorlog import referrer_error_ranking
 
         t0 = time.perf_counter()
-        # materialize the line stream once: the error-row and mpmstats
-        # parses both consume it (two lazy passes would re-read the files)
-        lines = lines_for(FAMILIES["error"]).materialize()
-        errs = parse_error_lines(lines).materialize()
+        # ONE read, fused parse: the error-row and mpmstats families both
+        # come from a single tagged-union pass over the raw lines — only the
+        # narrow PARSED rows are materialized; raw text never pins the
+        # object store (it used to: a full `.materialize()` of the line
+        # stream, exactly the traffic route.py's fused design avoids)
+        tagged = parse_error_families(lines_for(FAMILIES["error"])).materialize()
+        errs, mpm = split_error_families(tagged)
+        errs = errs.materialize()
         errs.write_parquet(os.path.join(out_dir, "error", "rows"))
-        mpm = parse_mpmstats(lines).materialize()
+        mpm = mpm.materialize()
         mpm.write_parquet(os.path.join(out_dir, "error", "mpmstats"))
         # report edges (small aggregates): the reference's errCntByRef
         # ranking (webErrorLogParser.sh:341-347) and the per-server max-bsy
@@ -216,12 +223,18 @@ def run(
         )
 
         t0 = time.perf_counter()
-        raw = lines_for(FAMILIES["gc"]).materialize()
         # single-line `[GC [...] ...]` records AND real multi-line
-        # `{Heap before GC …}` … `}` invocation blocks (PrintHeapAtGC)
-        gc = parse_gc_lines(raw).materialize()
+        # `{Heap before GC …}` … `}` invocation blocks (PrintHeapAtGC).
+        # Two LAZY passes = two pruned re-reads of the raw files — the
+        # multi-line reassembly needs whole text lines shuffled per JVM, so
+        # there is no one-pass fusion that keeps text out of the object
+        # store; re-reading beats pinning the full line stream (what a
+        # `.materialize()` of `raw` did) at any scale where it matters
+        gc = parse_gc_lines(lines_for(FAMILIES["gc"])).materialize()
         gc.write_parquet(os.path.join(out_dir, "gc", "rows"))
-        inv = parse_gc_invocations(reassemble_gc_blocks(raw)).materialize()
+        inv = parse_gc_invocations(
+            reassemble_gc_blocks(lines_for(FAMILIES["gc"]))
+        ).materialize()
         n_inv = int(inv.count())
         if n_inv:
             inv.write_parquet(os.path.join(out_dir, "gc", "invocations"))

@@ -123,31 +123,30 @@ def synth_error_lines(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _err_extract(t: pa.Table) -> pa.Table:
+    m = pc.extract_regex(t["text"], ERROR_RE)
+    sub = t.filter(pc.is_valid(m))
+    ms = pc.extract_regex(sub["text"], ERROR_RE)
+
+    def f(n):
+        return pc.struct_field(ms, n)
+
+    return pa.table(
+        {
+            "line_id": sub["line_id"],
+            "srv": f("srv"),
+            "dtm": f("dtm"),
+            "evt_type": f("evt"),
+            "client": f("client"),
+            "err": f("err"),
+            "referrer": f("ref"),
+        }
+    )
+
+
 def parse_error_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """M14: error lines → (line_id, srv, dtm, evt_type, client, err, referrer)."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        m = pc.extract_regex(t["text"], ERROR_RE)
-        keep = pc.is_valid(m)
-        sub = t.filter(keep)
-        ms = pc.extract_regex(sub["text"], ERROR_RE)
-
-        def f(n):
-            return pc.struct_field(ms, n)
-
-        return pa.table(
-            {
-                "line_id": sub["line_id"],
-                "srv": f("srv"),
-                "dtm": f("dtm"),
-                "evt_type": f("evt"),
-                "client": f("client"),
-                "err": f("err"),
-                "referrer": f("ref"),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_err_extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def referrer_error_ranking(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -175,58 +174,57 @@ def referrer_error_ranking(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return counts.sort(["n", "referrer", "err_det"], descending=[True, False, False])
 
 
-def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """M15+M16+J3: rdy lines ⟕ bsy-by-plugin lines on exact (srv, dtm).
+_MPM_COUNTERS = ("rdy", "bsy", "rd", "wr", "ka", "log", "dns", "cls")
 
-    Both sides are extracted vectorized; the join is a task-based sort-merge
-    join on the composite key (aggregate.merge_join — no per-call
-    hash-shuffle actor spawn); a missing bsy side yields 0
-    (webErrorLogParser.sh:280-288 left semantics). Plugin matching is
-    order-insensitive regex (absent plugin → 0, :192-232)."""
+_RDY_SCHEMA = pa.schema(
+    [("line_id", pa.int64()), ("srv", pa.string()), ("dtm", pa.string())]
+    + [(c, pa.int64()) for c in _MPM_COUNTERS]
+)
+_BSY_SCHEMA = pa.schema(
+    [("srv", pa.string()), ("dtm", pa.string()),
+     ("was_bsy", pa.int64()), ("wbg_bsy", pa.int64())]
+)
+
+
+def _rdy_extract(t: pa.Table) -> pa.Table:
+    m = pc.extract_regex(t["text"], RDY_RE)
+    sub = t.filter(pc.is_valid(m))
+    ms = pc.extract_regex(sub["text"], RDY_RE)
+
+    def f(n):
+        return pc.struct_field(ms, n)
+
+    cols = {"line_id": sub["line_id"], "srv": f("srv"), "dtm": f("dtm")}
+    for c in _MPM_COUNTERS:
+        cols[c] = pc.cast(f(c), pa.int64())
+    return pa.table(cols)
+
+
+def _bsy_extract(t: pa.Table) -> pa.Table:
+    m = pc.extract_regex(t["text"], BSY_LINE_RE)
+    sub = t.filter(pc.is_valid(m))
+    ms = pc.extract_regex(sub["text"], BSY_LINE_RE)
+    body = pc.struct_field(ms, "body")
+    wasb = pc.struct_field(pc.extract_regex(body, WAS_BSY_RE), "v")
+    wbgb = pc.struct_field(pc.extract_regex(body, WBG_BSY_RE), "v")
+    return pa.table(
+        {
+            "srv": pc.struct_field(ms, "srv"),
+            "dtm": pc.struct_field(ms, "dtm"),
+            "was_bsy": pc.cast(pc.fill_null(wasb, "0"), pa.int64()),
+            "wbg_bsy": pc.cast(pc.fill_null(wbgb, "0"), pa.int64()),
+        }
+    )
+
+
+def _join_mpm(rdy: "ray.data.Dataset", bsy: "ray.data.Dataset") -> "ray.data.Dataset":
+    """rdy ⟕ bsy on exact (srv, dtm) via the task-based sort-merge join;
+    missing bsy side → 0 (webErrorLogParser.sh:280-288 left semantics)."""
     from log_parser_ray.stages.aggregate import merge_join
 
-    def rdy_fn(t: pa.Table) -> pa.Table:
-        m = pc.extract_regex(t["text"], RDY_RE)
-        sub = t.filter(pc.is_valid(m))
-        ms = pc.extract_regex(sub["text"], RDY_RE)
-
-        def f(n):
-            return pc.struct_field(ms, n)
-
-        cols = {"line_id": sub["line_id"], "srv": f("srv"), "dtm": f("dtm")}
-        for c in ("rdy", "bsy", "rd", "wr", "ka", "log", "dns", "cls"):
-            cols[c] = pc.cast(f(c), pa.int64())
-        return pa.table(cols)
-
-    def bsy_fn(t: pa.Table) -> pa.Table:
-        m = pc.extract_regex(t["text"], BSY_LINE_RE)
-        sub = t.filter(pc.is_valid(m))
-        ms = pc.extract_regex(sub["text"], BSY_LINE_RE)
-        body = pc.struct_field(ms, "body")
-        wasb = pc.struct_field(pc.extract_regex(body, WAS_BSY_RE), "v")
-        wbgb = pc.struct_field(pc.extract_regex(body, WBG_BSY_RE), "v")
-        return pa.table(
-            {
-                "srv": pc.struct_field(ms, "srv"),
-                "dtm": pc.struct_field(ms, "dtm"),
-                "was_bsy": pc.cast(pc.fill_null(wasb, "0"), pa.int64()),
-                "wbg_bsy": pc.cast(pc.fill_null(wbgb, "0"), pa.int64()),
-            }
-        )
-
-    rdy_schema = pa.schema(
-        [("line_id", pa.int64()), ("srv", pa.string()), ("dtm", pa.string())]
-        + [(c, pa.int64()) for c in ("rdy", "bsy", "rd", "wr", "ka", "log", "dns", "cls")]
-    )
-    bsy_schema = pa.schema(
-        [("srv", pa.string()), ("dtm", pa.string()),
-         ("was_bsy", pa.int64()), ("wbg_bsy", pa.int64())]
-    )
-    rdy = ds.map_batches(rdy_fn, batch_format="pyarrow", zero_copy_batch=True)
-    bsy = ds.map_batches(bsy_fn, batch_format="pyarrow", zero_copy_batch=True)
     joined = merge_join(
         rdy, bsy, on=("srv", "dtm"), how="left_outer",
-        left_schema=rdy_schema, right_schema=bsy_schema,
+        left_schema=_RDY_SCHEMA, right_schema=_BSY_SCHEMA,
     )
 
     def fill(t: pa.Table) -> pa.Table:
@@ -240,6 +238,80 @@ def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_mpmstats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """M15+M16+J3: rdy lines ⟕ bsy-by-plugin lines on exact (srv, dtm).
+
+    Both sides are extracted vectorized; the join is a task-based sort-merge
+    join on the composite key (aggregate.merge_join — no per-call
+    hash-shuffle actor spawn); a missing bsy side yields 0
+    (webErrorLogParser.sh:280-288 left semantics). Plugin matching is
+    order-insensitive regex (absent plugin → 0, :192-232)."""
+    rdy = ds.map_batches(_rdy_extract, batch_format="pyarrow", zero_copy_batch=True)
+    bsy = ds.map_batches(_bsy_extract, batch_format="pyarrow", zero_copy_batch=True)
+    return _join_mpm(rdy, bsy)
+
+
+# tagged-union schema of the three error_log line families — the fused
+# one-read parse master uses (kind ∈ {err, rdy, bsy}; absent fields null)
+ERRFAM_SCHEMA = pa.schema(
+    [("kind", pa.string()), ("line_id", pa.int64()), ("srv", pa.string()),
+     ("dtm", pa.string()), ("evt_type", pa.string()), ("client", pa.string()),
+     ("err", pa.string()), ("referrer", pa.string())]
+    + [(c, pa.int64()) for c in _MPM_COUNTERS + ("was_bsy", "wbg_bsy")]
+)
+
+
+def parse_error_families(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """ONE pass over the raw error_log lines: classify/extract every line as
+    err / rdy / bsy and emit a tagged union of the three parsed schemas.
+
+    This is the fused stage master's error family materializes INSTEAD of
+    the raw line stream (the reference makes one awk pass over the file too,
+    webErrorLogParser.sh:148-232): raw text is read and parsed inside the
+    read task and never pins the object store; only the narrow tagged rows
+    do. ``split_error_families`` filters the union back apart."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for kind, sub in (("err", _err_extract(t)), ("rdy", _rdy_extract(t)),
+                          ("bsy", _bsy_extract(t))):
+            n = sub.num_rows
+            cols = {}
+            for f in ERRFAM_SCHEMA:
+                if f.name == "kind":
+                    cols["kind"] = pa.array([kind] * n, pa.string())
+                elif f.name in sub.column_names:
+                    cols[f.name] = sub[f.name]
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_error_families(tagged: "ray.data.Dataset"):
+    """Tagged union → (error rows, mpmstats joined rows), both lazy filters
+    over the (already-parsed, narrow) union blocks."""
+
+    def pick(kind: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return fn
+
+    def sel(kind, cols):
+        return tagged.map_batches(
+            pick(kind, cols), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    errs = sel("err", ["line_id", "srv", "dtm", "evt_type", "client", "err",
+                       "referrer"])
+    rdy = sel("rdy", [f.name for f in _RDY_SCHEMA])
+    bsy = sel("bsy", [f.name for f in _BSY_SCHEMA])
+    return errs, _join_mpm(rdy, bsy)
 
 
 # Ground truth for the mpmstats join, straight from events.

@@ -165,6 +165,45 @@ def test_mpmstats_plugin_order_insensitive(ray_session):
     assert (r1["was_bsy"], r1["wbg_bsy"]) == (0, 0)  # absent side → 0
 
 
+def test_error_families_fused_parse(ray_session):
+    """master's ONE-read tagged-union error parse yields exactly the rows of
+    the separate parse_error_lines / parse_mpmstats passes (the fused stage
+    exists so raw text never pins the object store)."""
+    from log_parser_ray.stages.errorlog import (
+        parse_error_families,
+        parse_error_lines,
+        parse_mpmstats,
+        split_error_families,
+    )
+
+    rows = [
+        "ihs0 [Sun Jun 14 00:00:48 2015] [error] [client 10.0.0.9] "
+        "File does not exist: /x, referer: http://a/b",
+        "ihs0 [Sun Jun 14 00:00:48 2015] [notice] mpmstats: rdy 50 bsy 10 "
+        "rd 1 wr 5 ka 3 log 0 dns 0 cls 1",
+        "ihs0 [Sun Jun 14 00:00:48 2015] [notice] bsy: 3 in mod_webgate.c, "
+        "5 in mod_was_ap22_http.c",
+        "ihs1 [Sun Jun 14 00:00:49 2015] [notice] mpmstats: rdy 9 bsy 2 "
+        "rd 0 wr 1 ka 0 log 0 dns 0 cls 0",
+        "not a parseable line at all",
+    ]
+    errs, mpm = split_error_families(parse_error_families(lines_ds(rows)))
+    got_errs = errs.to_pandas().sort_values("line_id").reset_index(drop=True)
+    exp_errs = (
+        parse_error_lines(lines_ds(rows)).to_pandas()
+        .sort_values("line_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_errs, exp_errs)
+    got_mpm = mpm.to_pandas().sort_values("srv").reset_index(drop=True)
+    exp_mpm = (
+        parse_mpmstats(lines_ds(rows)).to_pandas()
+        .sort_values("srv").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_mpm[sorted(got_mpm.columns)], exp_mpm[sorted(exp_mpm.columns)]
+    )
+
+
 def test_raw_access_log_file_hourly_vs_duckdb(ray_session, sf_dir, tmp_path):
     """VERDICT #6: a real access_log FILE (plain + gz) read through
     read_raw_logs gets real per-line timestamps, and hourly aggregates over
