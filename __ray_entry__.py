@@ -522,6 +522,28 @@ def q_access_baseline_deviation(sf_dir: str):
     return stats.sort_values("uri_path").reset_index(drop=True)
 
 
+def q_access_user_sessions(sf_dir: str):
+    """The whereuid user-session report (webAccessLogParser.sh:715-719
+    accumulate, 1273-1295 emit): per (ws, was, clnid, js, uid) the latest
+    login stamp, latest logout stamp (or 'na') and their difference in
+    seconds. The synth grammar has no SecurityWeb pages, so the marker URIs
+    are parameterized: login = '/', logout = '/app/search' with q=term1."""
+    from log_parser_ray.pipelines.weblog import user_sessions_ds, whereuid_marker
+
+    def mark(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["sink"], "parsed"))
+        return t.append_column(
+            "wu_evt",
+            whereuid_marker(t, login_uri="/", logout_uri="/app/search",
+                            logout_param_re=r"q=term1"),
+        )
+
+    marked = _access_parsed(sf_dir).map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return user_sessions_ds(marked)
+
+
 def q_access_top_slow_uris(sf_dir: str):
     """K2: top-10 URIs by average response time — avg derived in a
     map_batches over the per-URI aggregate, then a DISTRIBUTED top_k
@@ -1227,7 +1249,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_counts": q_sink_counts,
         "conv_category_counts": q_conv_category_counts,
         "severity_counts": q_severity_counts,
-        "error_code_counts": q_error_code_counts,
         "hourly_sink_counts": q_hourly_sink_counts,
         "hourly_distinct_convs": q_hourly_distinct_convs,
         "tool_rt_stats": q_tool_rt_stats,
@@ -1246,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_ua_counts": q_access_ua_counts,
         "access_domain_rollup": q_access_domain_rollup,
         "access_baseline_deviation": q_access_baseline_deviation,
+        "access_alerts": q_access_alerts,
+        "access_user_sessions": q_access_user_sessions,
         # -- error-log pack (real format)
         "errorlog_rows": q_errorlog_rows,
         "errorlog_counts": q_errorlog_counts,
@@ -1255,13 +1278,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gc_parsed_rows": q_gc_parsed_rows,
         "gc_multiline_rows": q_gc_multiline_rows,
         "gc_pause_summary": q_gc_pause_summary,
-        "gc_threshold_exceeds": q_gc_threshold_exceeds,
+        "gc_daily_alerts": q_gc_daily_alerts,
         # -- WAS pack (real format)
         "was_parsed_rows": q_was_parsed_rows,
         "was_event_counts": q_was_event_counts,
-        "was_msgid_counts": q_was_msgid_counts,
         "was_tto_pairs": q_was_tto_pairs,
         "was_cpu_starvation": q_was_cpu_starvation,
+        "was_event_alerts": q_was_event_alerts,
         "was_oom_last": q_was_oom_last,
         "was_recycles": q_was_recycles,
         # -- dedup / similarity family
@@ -1270,22 +1293,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q_minhash_clusters,
         "cosine_near_dups": q_cosine_near_dups,
         "knn_cosine": q_knn_cosine,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
         "curate_report": q_curate_report,
         # -- text analysis / PII
         "text_quality": q_text_quality,
-        "lang_id_counts": q_lang_id_counts,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "pii_stats": q_pii_stats,
-        "pii_redacted_rows": q_pii_redacted_rows,
         # -- sketches / sampling
         "winnow_overlap": q_winnow_overlap,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         # ---- driver window (50) ends here ----
-        "was_event_alerts": q_was_event_alerts,
-        "gc_daily_alerts": q_gc_daily_alerts,
-        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
-        "access_alerts": q_access_alerts,
+        "error_code_counts": q_error_code_counts,
+        "was_msgid_counts": q_was_msgid_counts,
+        "pii_redacted_rows": q_pii_redacted_rows,
+        "lang_id_counts": q_lang_id_counts,
+        "gc_threshold_exceeds": q_gc_threshold_exceeds,
         "decontaminate_join": q_decontaminate_join,
         "repetition_stats": q_repetition_stats,
         "errlog_referrer_ranking": q_errlog_referrer_ranking,
@@ -1805,6 +1828,28 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT tool_name, COUNT(*) AS n FROM parsed
              WHERE tool_name IS NOT NULL GROUP BY tool_name
              ORDER BY n DESC, tool_name""",
+        "access_user_sessions": A
+        + """, wu_marks AS (
+              SELECT websrvr, was, clone_id, jsession, uid,
+                     dt || ':' || tm AS stamp,
+                     CASE WHEN uri_path = '/' THEN 1
+                          WHEN uri_path = '/app/search'
+                               AND regexp_matches(params, 'q=term1') THEN 2
+                          ELSE 0 END AS evt
+              FROM access_truth
+              WHERE sink = 'parsed' AND jsession <> '-' AND jsession <> ''
+            )
+            SELECT websrvr AS ws, was, clone_id AS clnid, jsession AS js, uid,
+                   MAX(CASE WHEN evt = 1 THEN stamp END) AS strtm,
+                   COALESCE(MAX(CASE WHEN evt = 2 THEN stamp END), 'na') AS endtm,
+                   date_diff('second',
+                             strptime(MAX(CASE WHEN evt = 1 THEN stamp END),
+                                      '%Y-%m-%d:%H:%M:%S'),
+                             strptime(MAX(CASE WHEN evt = 2 THEN stamp END),
+                                      '%Y-%m-%d:%H:%M:%S')) AS diff
+            FROM wu_marks WHERE evt > 0
+            GROUP BY websrvr, was, clone_id, jsession, uid
+            HAVING MAX(CASE WHEN evt = 1 THEN stamp END) IS NOT NULL""",
         "access_alerts": A
         + f""", tot AS (
               SELECT

@@ -62,6 +62,15 @@ STATIC_EXTS = ["jpg", "gif", "png", "ico", "js", "cgi", "css", "htm", "html",
                "pdf", "txt"]
 RANGE_LABELS = [r[0] for r in RT_RANGES] + [RT_RANGE_OVER]
 
+# the reference's whereuid login/logout markers (webAccessLogParser.sh:715-719)
+LOGIN_URI = "/SecurityWeb/roleSelect/loginRoleSelect.xhtml"
+LOGOUT_URI = "/SecurityWeb/Portal"
+LOGOUT_PARAM_RE = r"logout=true"
+
+# the whereuid session key (webAccessLogParser.sh:716: webSrvr was cloneID
+# jsession uid)
+WU_KEY = ["websrvr", "was", "clone_id", "jsession", "uid"]
+
 # narrow projection carried to the report aggregates (everything else —
 # raw text, params, cookies — exists only inside the fused task). The
 # was/dt/tm/size/browser/os_name/domain columns exist to serve the
@@ -69,7 +78,8 @@ RANGE_LABELS = [r[0] for r in RT_RANGES] + [RT_RANGE_OVER]
 # usage, domain rollup).
 NARROW_COLS = ["sink", "hour", "uid", "jsession", "rt_us", "resp_range",
                "response", "uri_path", "websrvr", "request", "ext",
-               "was", "dt", "tm", "size", "browser", "os_name", "domain"]
+               "was", "dt", "tm", "size", "browser", "os_name", "domain",
+               "clone_id", "wu_evt"]
 
 # single-slot per-worker cache of the compiled parser (same economics as
 # route._FUSED_CACHE: one run's parameters at a time, no growth)
@@ -92,6 +102,9 @@ def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Ta
         _PARSE_CACHE[0] = key
     full = _PARSE_CACHE[1](batch)
     write_batch_sinks(full, out_dir)
+    # whereuid login/logout flag derives from params+uri HERE so the narrow
+    # projection stays narrow (webAccessLogParser.sh:715-719)
+    full = full.append_column("wu_evt", whereuid_marker(full))
     return full.select(NARROW_COLS)
 
 
@@ -176,6 +189,126 @@ def _dim_distincts(ok: "ray.data.Dataset", dim: str,
         if k not in wide.columns:
             wide[k] = 0
     return wide[[dim] + [k for k, _ in specs]]
+
+
+def whereuid_marker(
+    t: pa.Table,
+    *,
+    login_uri: str = LOGIN_URI,
+    logout_uri: str = LOGOUT_URI,
+    logout_param_re: str = LOGOUT_PARAM_RE,
+) -> pa.Array:
+    """Per-row whereuid event flag over FULL parsed access rows: 1 = login
+    (uri == login page), 2 = logout (uri == portal AND params ~ logout
+    marker), 0 = neither; rows without a valid jsession never mark
+    (webAccessLogParser.sh:700,715-719). Computed inside the fused parse
+    task so the narrow report projection needs neither `params` nor the
+    full uri set."""
+    js = t["jsession"]
+    js_ok = pc.and_(
+        pc.fill_null(pc.not_equal(js, "-"), False),
+        pc.fill_null(pc.not_equal(js, ""), False),
+    )
+    login = pc.and_(
+        js_ok, pc.fill_null(pc.equal(t["uri_path"], login_uri), False)
+    )
+    logout = pc.and_(
+        js_ok,
+        pc.and_(
+            pc.fill_null(pc.equal(t["uri_path"], logout_uri), False),
+            pc.fill_null(
+                pc.match_substring_regex(t["params"], logout_param_re), False
+            ),
+        ),
+    )
+    out = pc.if_else(login, pa.scalar(1, pa.int8()),
+                     pc.if_else(logout, pa.scalar(2, pa.int8()),
+                                pa.scalar(0, pa.int8())))
+    return out
+
+
+def user_sessions_ds(marked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The whereuid login→logout session table (webAccessLogParser.sh:
+    715-719 accumulate, 1273-1295 emit): per (websrvr, was, cloneID,
+    jsession, uid) the LATEST login stamp, the LATEST logout stamp (or
+    'na'), and their difference in seconds; keys that never logged in drop.
+
+    ``marked`` carries WU_KEY + wu_evt (whereuid_marker) + dt + tm. Shape:
+    the marker filter runs per block (markers are rare), then one two-phase
+    max per key — the awk's last-assignment-wins over a time-ordered file IS
+    max(dt:tm); the output stays a distributed Dataset (session cardinality
+    is unbounded), columns named as the reference's header row
+    ws|was|clnid|js|uid|strtm|endtm|diff."""
+
+    def prep_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["wu_evt"], 0))
+        stamp = pc.binary_join_element_wise(t["dt"], t["tm"], ":")
+        none = pa.nulls(t.num_rows, pa.string())
+        sub = pa.table(
+            {k: t[k] for k in WU_KEY}
+            | {
+                "s_login": pc.if_else(pc.equal(t["wu_evt"], 1), stamp, none),
+                "s_logout": pc.if_else(pc.equal(t["wu_evt"], 2), stamp, none),
+            }
+        )
+        return sub.group_by(WU_KEY).aggregate(
+            [("s_login", "max"), ("s_logout", "max")]
+        )
+
+    part = _mb(marked, prep_partial, batch_size=COMBINE_ROWS)
+    agg = sorted_combine(
+        part, WU_KEY,
+        [("s_login_max", "max"), ("s_logout_max", "max")],
+        renames={"s_login_max_max": "strtm", "s_logout_max_max": "_endtm"},
+        keep=WU_KEY + ["strtm", "_endtm"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["strtm"]))
+
+        def epoch(col):
+            ts = pc.strptime(col, format="%Y-%m-%d:%H:%M:%S", unit="s",
+                             error_is_null=True)
+            return pc.cast(ts, pa.int64())
+
+        diff = pc.subtract(epoch(t["_endtm"]), epoch(t["strtm"]))
+        return pa.table(
+            {
+                "ws": t["websrvr"], "was": t["was"], "clnid": t["clone_id"],
+                "js": t["jsession"], "uid": t["uid"], "strtm": t["strtm"],
+                "endtm": pc.fill_null(t["_endtm"], "na"),
+                "diff": diff,
+            }
+        )
+
+    return _mb(agg, finish)
+
+
+def write_user_sessions(sessions: "ray.data.Dataset", out_dir: str) -> str | None:
+    """Stream the whereuid table to the reference's
+    WebAccessLogSummaryByUidSessionRpt.csv (space-separated, header row,
+    sorted by uid — webAccessLogParser.sh:49,168,1273-1295). Streaming write
+    (never a full driver collect); no file when no session logged in,
+    mirroring the reference's length(arrWhereUidStart)>0 guard."""
+    path = os.path.join(out_dir, "WebAccessLogSummaryByUidSessionRpt.csv")
+    srt = sessions.sort(["uid", "ws", "was", "clnid", "js"])
+    rows = 0
+    with open(path, "w") as fh:
+        fh.write("ws was clnid js uid strtm endtm diff\n")
+        for b in srt.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            d = pc.fill_null(pc.cast(b["diff"], pa.string()), "na").to_pylist()
+            cols = [b[c].to_pylist()
+                    for c in ("ws", "was", "clnid", "js", "uid",
+                              "strtm", "endtm")]
+            for vals in zip(*cols, d):
+                fh.write(" ".join(vals) + "\n")
+                rows += 1
+    if rows == 0:
+        os.remove(path)
+        return None
+    return path
 
 
 def run(
@@ -361,6 +494,11 @@ def run(
         f_os = ex.submit(
             lambda: _dim_distincts(ok, "os_name", (("cnt", "uid"),))
         )
+        # whereuid user-session report (webAccessLogParser.sh:1273-1295,
+        # 1540-1541) — distributed pairing + streaming CSV write
+        f_wu = ex.submit(
+            lambda: write_user_sessions(user_sessions_ds(ok), out_dir)
+        )
         hourly = f_hourly.result()
         uu_wide = f_uu.result()
         rc = f_rc.result()
@@ -377,6 +515,7 @@ def run(
         uid_top5 = f_uid5.result()
         browser_usage = f_bw.result()
         os_usage = f_os.result()
+        user_sessions_path = f_wu.result()
 
     # ---- hourly table + daily totals --------------------------------------
     hourly = hourly.merge(uu_wide, on="hour", how="left")
@@ -506,6 +645,7 @@ def run(
         "browser_usage": browser_usage, "os_usage": os_usage,
         "top_slow": slow, "methods": methods, "total": total,
         "alerts": alerts, "sink_counts": sink_hist,
+        "user_sessions_path": user_sessions_path,
     }
     report = _render_report(tables)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
@@ -672,6 +812,7 @@ def _empty_result(out_dir: str, sink_hist: pd.DataFrame,
         "methods": empty(columns=["websrvr", "request", "n"]),
         "total": 0,
         "sink_counts": sink_hist,
+        "user_sessions_path": None,
     }
     from log_parser_ray.pipelines.reports import global_http_alerts
 

@@ -527,6 +527,61 @@ def test_access_parser_roundtrip(ray_session, method, glue, uri, q, code, rt, se
     assert out["resp_range"] == exp_range
 
 
+def test_whereuid_user_sessions_report(ray_session, tmp_path):
+    """The whereuid login→logout session report
+    (webAccessLogParser.sh:715-719,1273-1295): latest login / latest logout
+    per (ws, was, clnid, js, uid), 'na' when never logged out, logout-only
+    and no-jsession keys dropped, sorted by uid, space-separated layout."""
+    from log_parser_ray.pipelines import weblog
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+
+    def line(tm, uri, js, uid, ws="web0"):
+        return (f'10.0.0.1 - - [14/Jun/2015:{tm} -0500] "GET {uri} HTTP/1.1" '
+                f'200 123 JSESSIONID="{js}" UID="{uid}" 1000 10 20 "{UA}" {ws}')
+
+    login = "/SecurityWeb/roleSelect/loginRoleSelect.xhtml"
+    rows = [
+        line("10:00:00", login, "0000S7X:cl1", "u7@example.com"),
+        # a LATER login for the same key — last one wins
+        line("11:00:00", login, "0000S7X:cl1", "u7@example.com"),
+        line("11:30:00", "/SecurityWeb/Portal?logout=true&x=1",
+             "0000S7X:cl1", "u7@example.com"),
+        # login with no logout → endtm/diff 'na'
+        line("09:00:00", login, "0000S8X:cl2", "u8@example.com"),
+        # logout with no login → dropped
+        line("09:30:00", "/SecurityWeb/Portal?logout=true",
+             "0000S9X:cl3", "u9@example.com"),
+        # no jsession → never marks
+        line("09:45:00", login, "-", "u10@example.com"),
+        # an ordinary row (no marker)
+        line("12:00:00", "/app/x", "0000S7X:cl1", "u7@example.com"),
+    ]
+    (tmp_path / "access_log.1").write_text("\n".join(rows) + "\n")
+    res = weblog.run(str(tmp_path), str(tmp_path / "rpt"),
+                     file_pattern="access_log")
+    path = res["user_sessions_path"]
+    assert path and os.path.isfile(path)
+    assert os.path.basename(path) == "WebAccessLogSummaryByUidSessionRpt.csv"
+    got = open(path).read().splitlines()
+    assert got[0] == "ws was clnid js uid strtm endtm diff"
+    assert got[1:] == [
+        "web0 WAS_B cl1 S7X u7@example.com "
+        "2015-06-14:11:00:00 2015-06-14:11:30:00 1800",
+        "web0 WAS_C cl2 S8X u8@example.com 2015-06-14:09:00:00 na na",
+    ]
+
+    # a run with no markers at all writes NO session file (the reference's
+    # length(arrWhereUidStart)>0 guard)
+    (tmp_path / "plain" ).mkdir()
+    (tmp_path / "plain" / "access_log.2").write_text(
+        line("12:00:00", "/app/x", "0000S7X:cl1", "u7@example.com") + "\n")
+    res2 = weblog.run(str(tmp_path / "plain"), str(tmp_path / "rpt2"),
+                      file_pattern="access_log")
+    assert res2["user_sessions_path"] is None
+
+
 def test_weblog_history_append_idempotent(ray_session, sf_dir, tmp_path):
     """IO5 on the real pack: daily history appends are idempotent per date
     (a rerun of the same day replaces, never double-appends)."""
