@@ -34,6 +34,13 @@ def main(argv=None) -> int:
                          "filter input to that date — a pushed-down ts "
                          "predicate at the parquet read — and key the daily "
                          "history append")
+    ap.add_argument("--procoption", choices=["full", "partial"], default="partial",
+                    help="the reference's `-o procoption` (usage.sh:24-38; GC "
+                         "semantics javaGCStatsParser.sh:446-454): with "
+                         "--record-date, `partial` keeps only that date "
+                         "(ts == recorddate, the default) while `full` keeps "
+                         "everything UP TO AND INCLUDING it (cumulative "
+                         "ts <= recorddate) — both pushed down to the read")
     ap.add_argument("--rpttype", choices=["daily", "ondemand"], default="ondemand",
                     help="the reference's `-t`: daily additionally appends "
                          "this run's summary rows to the date-partitioned "
@@ -62,6 +69,8 @@ def main(argv=None) -> int:
     daily = args.rpttype == "daily"
     if daily and not args.record_date:
         ap.error("--rpttype daily requires --record-date")
+    if args.procoption == "full" and not args.record_date:
+        ap.error("--procoption full requires --record-date")
     if args.partitioned and (args.record_date or daily):
         # the partitioned mode builds its own event_id-range reads; silently
         # ignoring the date/daily flags would produce an unfiltered run
@@ -91,9 +100,11 @@ def main(argv=None) -> int:
         }, sort_keys=True))
         return 0
 
-    # --record-date → ts ∈ [date, date+1d) predicate, PUSHED DOWN to the
-    # parquet scan (row-group pruning) where the source is parquet; raw text
-    # logs filter post-read (their date predicate is the file pattern, IO1)
+    # --record-date → ts predicate PUSHED DOWN to the parquet scan
+    # (row-group pruning) where the source is parquet; raw text logs filter
+    # post-read (their date predicate is the file pattern, IO1). partial =
+    # ts ∈ [date, date+1d); full = ts < date+1d (the reference's cumulative
+    # `-o full`, javaGCStatsParser.sh:446-454 dt <= recDate)
     ts_filter = None
     if args.record_date:
         import datetime as _dt
@@ -102,7 +113,11 @@ def main(argv=None) -> int:
 
         d0 = _dt.datetime.fromisoformat(args.record_date)
         d1 = d0 + _dt.timedelta(days=1)
-        ts_filter = (pads.field("ts") >= d0) & (pads.field("ts") < d1)
+        if args.procoption == "full":
+            d0 = None
+            ts_filter = pads.field("ts") < d1
+        else:
+            ts_filter = (pads.field("ts") >= d0) & (pads.field("ts") < d1)
 
     if args.input:
         from log_parser_ray.sources.transcripts import read_transcripts
@@ -123,10 +138,12 @@ def main(argv=None) -> int:
                 import pyarrow as _pa
 
                 ts = t["ts"]
-                keep = _pc.and_(
-                    _pc.greater_equal(ts, _pa.scalar(lo, _pa.timestamp("us"))),
-                    _pc.less(ts, _pa.scalar(hi, _pa.timestamp("us"))),
-                )
+                keep = _pc.less(ts, _pa.scalar(hi, _pa.timestamp("us")))
+                if lo is not None:  # --procoption full: no lower bound
+                    keep = _pc.and_(
+                        keep,
+                        _pc.greater_equal(ts, _pa.scalar(lo, _pa.timestamp("us"))),
+                    )
                 # lines whose timestamp failed to parse carry epoch 0
                 # (rawlogs.extract_line_ts fallback) — keep them: they
                 # belong to the day's file (continuation lines, unknown-UA

@@ -178,18 +178,25 @@ def _top10(counts: "ray.data.Dataset", dim: str, evts: list[str]) -> pd.DataFram
 def _prefix_alerts(
     df: pd.DataFrame, *, family: str, prop: str, key_col: str, value_col: str
 ) -> pd.DataFrame:
-    """Per-key threshold alerts via the 3-char-prefix rule lookup."""
-    rows = []
-    for _, r in df.iterrows():
-        key = str(r[key_col])
-        rule = f"{family}.{key[:3]}.{prop}"
-        th = FAMILY_THRESHOLDS.get(rule)
-        if th is not None and float(r[value_col]) > th:
-            rows.append(
-                {"rule": rule, "key": key, "value": float(r[value_col]),
-                 "threshold": float(th)}
-            )
-    return pd.DataFrame(rows, columns=["rule", "key", "value", "threshold"])
+    """Per-key threshold alerts via the 3-char-prefix rule lookup — a
+    vectorized rule-table join (each `{family}.{pfx}.{prop}` rule maps to
+    exactly one prefix, so the inner merge never duplicates rows)."""
+    out_cols = ["rule", "key", "value", "threshold"]
+    if not len(df):
+        return pd.DataFrame(columns=out_cols)
+    rules = pd.DataFrame(
+        [(rule, rule.split(".")[1], float(th))
+         for rule, th in FAMILY_THRESHOLDS.items()
+         if rule.count(".") == 2
+         and rule.startswith(f"{family}.") and rule.endswith(f".{prop}")],
+        columns=["rule", "_pfx", "threshold"],
+    )
+    keys = df[key_col].astype(str)
+    left = pd.DataFrame({"key": keys, "_pfx": keys.str[:3],
+                         "value": df[value_col].astype(float)})
+    hits = left.merge(rules, on="_pfx", how="inner")
+    hits = hits[hits["value"] > hits["threshold"]]
+    return hits[out_cols].reset_index(drop=True)
 
 
 def filtered_error_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -265,6 +265,38 @@ def test_cli_record_date_daily(ray_session, sf_dir, tmp_path, capsys):
     assert len(hist) == len(set(hist["sink"]))
 
 
+def test_cli_procoption_full(ray_session, sf_dir, tmp_path, capsys):
+    """S1 `-o procoption` (usage.sh:24-38): `full` keeps everything up to
+    and including the record date (cumulative ts <= recDate,
+    javaGCStatsParser.sh:446-454); `partial` (default) keeps that date only.
+    Both counts pinned against DuckDB over the same parquet."""
+    import json
+
+    import duckdb
+
+    from log_parser_ray.__main__ import main
+
+    base = ["--events-sf", sf_dir, "--record-date", "2024-01-05"]
+    assert main(base + ["--out", str(tmp_path / "p")]) == 0
+    rows_p = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert main(base + ["--out", str(tmp_path / "f"),
+                        "--procoption", "full"]) == 0
+    rows_f = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    con = duckdb.connect()
+    exp_p, exp_f = con.execute(
+        "SELECT SUM(CASE WHEN ts >= TIMESTAMP '2024-01-05'"
+        "                 AND ts < TIMESTAMP '2024-01-06' THEN 1 ELSE 0 END),"
+        "       SUM(CASE WHEN ts < TIMESTAMP '2024-01-06' THEN 1 ELSE 0 END)"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert (rows_p, rows_f) == (exp_p, exp_f)
+    assert 0 < rows_p < rows_f
+    # full without a record date is a CLI error, like daily without one
+    with pytest.raises(SystemExit):
+        main(["--events-sf", sf_dir, "--out", str(tmp_path / "x"),
+              "--procoption", "full"])
+
+
 def test_error_summary_report(ray_session, sf_dir, tmp_path):
     """03-report: by-server / by-detail / by-referrer sections and
     arithmetic (webErrorLogParser.sh:321-347)."""
