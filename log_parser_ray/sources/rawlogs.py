@@ -38,12 +38,54 @@ import pyarrow as pa
 import ray.data
 
 
+# Localized month tokens → the English %b set. The reference's date
+# derivation is LC_ALL-dependent (`date +%b`, usage.sh:137-157), so a
+# non-English host writes localized month abbreviations into filenames and
+# timestamps; Arrow's strptime knows only the C-locale names. This table is
+# the user-extension surface (SURVEY §2.10) for whatever locale the logs
+# carry — keys lowercase, only tokens that DIFFER from English needed.
+MONTH_TOKENS: dict[str, str] = {
+    # German
+    "mär": "Mar", "mrz": "Mar", "okt": "Oct", "dez": "Dec",
+    # French
+    "févr": "Feb", "avr": "Apr", "mai": "May", "juin": "Jun",
+    "juil": "Jul", "août": "Aug", "déc": "Dec",
+    # Spanish
+    "ene": "Jan", "abr": "Apr", "ago": "Aug", "dic": "Dec",
+}
+
+
+def normalize_month_tokens(dtm: pa.Array | pa.ChunkedArray):
+    """`DD/<mon>/YYYY:…` stamps: translate a localized month token to the
+    English %b name so strptime accepts it. The translate runs over the
+    DICTIONARY of unique month tokens (≤ tens), not rows, and returns the
+    input unchanged (zero-copy) when every token is already English — the
+    common case costs one regex pass + a tiny dict encode."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(dtm, r"^(?P<d>\d{1,2}/)(?P<m>[^/]+)(?P<r>/.*)$")
+    mon = pc.struct_field(ex, "m")
+    arr = mon.combine_chunks() if isinstance(mon, pa.ChunkedArray) else mon
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    mapped = [MONTH_TOKENS.get((u or "").lower(), u) for u in uniq]
+    if mapped == uniq:
+        return dtm
+    norm = pa.Array.from_pandas(mapped, type=pa.string()).take(enc.indices)
+    rebuilt = pc.binary_join_element_wise(
+        pc.struct_field(ex, "d"), norm, pc.struct_field(ex, "r"), ""
+    )
+    return pc.if_else(pc.is_valid(mon), rebuilt, dtm)
+
+
 def extract_line_ts(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized per-line timestamp extraction (M5 analogue).
 
     Two grammars, tried in order with RE2 kernels:
       access-log `[13/Jun/2015:10:32:04 -0400]` (webAccessLogParser.sh:299,
-        mktime at :320) — parsed with %d/%b/%Y:%H:%M:%S,
+        mktime at :320) — parsed with %d/%b/%Y:%H:%M:%S; localized month
+        tokens (usage.sh:137-157's LC_ALL-dependent %b) normalize via
+        MONTH_TOKENS first,
       WAS SystemOut `[6/13/15 10:32:04:123 EDT]` (websphereLogParser.sh:205)
         — parsed with %m/%d/%y %H:%M:%S.
     The reference treats times as wall-clock local; zone offsets are kept as
@@ -53,13 +95,14 @@ def extract_line_ts(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     import pyarrow.compute as pc
 
     acc = pc.extract_regex(
-        text, r"\[(?P<a>\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2}) [-+]\d{4}\]"
+        text, r"\[(?P<a>\d{2}/[^/ \]]{3,6}/\d{4}:\d{2}:\d{2}:\d{2}) [-+]\d{4}\]"
     )
     was = pc.extract_regex(
         text, r"\[(?P<w>\d{1,2}/\d{1,2}/\d{2} \d{1,2}:\d{2}:\d{2}):\d{3}"
     )
     a_ts = pc.strptime(
-        pc.struct_field(acc, "a"), format="%d/%b/%Y:%H:%M:%S", unit="us",
+        normalize_month_tokens(pc.struct_field(acc, "a")),
+        format="%d/%b/%Y:%H:%M:%S", unit="us",
         error_is_null=True,
     )
     w_ts = pc.strptime(

@@ -232,8 +232,13 @@ def make_access_parser(clone_map: dict[str, str] | None = None):
 
         # --- M5 timestamp
         # second-precision first (Arrow %S renders a fraction for [us]),
-        # then widen to the schema's timestamp[us]
-        ts_s = pc.strptime(f("dtm"), format="%d/%b/%Y:%H:%M:%S", unit="s",
+        # then widen to the schema's timestamp[us]; localized month tokens
+        # (usage.sh:137-157's LC_ALL-dependent %b) normalize to English
+        # first — a zero-copy no-op on English-locale logs
+        from log_parser_ray.sources.rawlogs import normalize_month_tokens
+
+        ts_s = pc.strptime(normalize_month_tokens(f("dtm")),
+                           format="%d/%b/%Y:%H:%M:%S", unit="s",
                            error_is_null=True)
         ts = pc.cast(ts_s, pa.timestamp("us"))
         dt = pc.strftime(ts_s, format="%Y-%m-%d")

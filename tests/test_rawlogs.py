@@ -78,3 +78,47 @@ def test_pipeline_over_raw_logs(ray_session, tmp_path):
     assert counts["http_errors"] == 1  # 503
     assert counts["http_ok"] == 1      # the single 200
     assert counts["unparsed"] == 1     # the 'note …' line
+
+
+def test_localized_month_timestamps(ray_session, tmp_path):
+    """M5 on non-English-locale logs (usage.sh:137-157: `date +%b` is
+    LC_ALL-dependent): localized month tokens normalize to the English %b
+    set in BOTH the raw-line ts extraction and the access parser's dt/tm."""
+    import pyarrow as pa
+
+    from log_parser_ray.sources.rawlogs import (
+        extract_line_ts,
+        normalize_month_tokens,
+    )
+    from log_parser_ray.stages.accesslog import parse_access_log
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+
+    def line(stamp):
+        return (f'10.0.0.1 - - [{stamp} -0500] "GET /app/x HTTP/1.1" 200 12 '
+                f'JSESSIONID="0000S7X:cl1" UID="u7@e.com" 1000 1 2 "{UA}" web0')
+
+    stamps = {
+        "14/Okt/2015:10:32:04": "2015-10-14",   # German
+        "01/août/2015:03:02:01": "2015-08-01",  # French
+        "09/dic/2015:23:59:58": "2015-12-09",   # Spanish
+        "13/Jun/2015:10:32:04": "2015-06-13",   # English stays
+    }
+    texts = pa.array([line(s) for s in stamps], pa.string())
+    ts = extract_line_ts(texts).to_pylist()
+    assert [str(t.date()) for t in ts] == list(stamps.values())
+
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "line_id": pa.array(range(len(stamps)), pa.int64()),
+        "text": texts,
+    }))
+    out = parse_access_log(ds).to_pandas().sort_values("line_id")
+    assert out["dt"].tolist() == list(stamps.values())
+    assert out["sink"].tolist() == ["parsed"] * len(stamps)
+
+    # all-English input returns the INPUT array unchanged (zero-copy no-op)
+    eng = pa.array(["13/Jun/2015:10:32:04", "01/Dec/2015:00:00:00"])
+    assert normalize_month_tokens(eng) is eng
