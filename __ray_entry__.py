@@ -367,17 +367,27 @@ def q_conv_avg_rt_ranking(sf_dir: str):
     """K2/K5 semantics: rank groups by AVERAGE response time, top 10.
 
     Exactness rule (SURVEY §7.5): keep sums+counts through the parallel
-    aggregation; divide once at the report edge, round 6dp — identical to
-    the serial oracle's division."""
+    aggregation; divide once per group in a map over the aggregate, round
+    6dp — identical to the serial oracle's division. conv_id cardinality is
+    unbounded, so the ranking is a DISTRIBUTED top_k over the per-conv
+    aggregate — the full frame never reaches the driver."""
     stats = grouped_stats(
         _keep(_parsed(sf_dir), "rt_us"), ["conv_id"], "rt_us",
         count="n", sum_="sum_rt",
-    ).to_pandas()
-    stats["avg_rt_us"] = (stats["sum_rt"] / stats["n"]).round(6)
-    out = stats.sort_values(
-        ["avg_rt_us", "conv_id"], ascending=[False, True]
-    ).head(10).reset_index(drop=True)
-    return out[["conv_id", "n", "sum_rt", "avg_rt_us"]]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(pc.cast(t["sum_rt"], pa.float64()),
+                      pc.cast(t["n"], pa.float64())),
+            ndigits=6,
+        )
+        return t.append_column("avg_rt_us", avg)
+
+    return top_k(
+        stats.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        by=["avg_rt_us", "conv_id"], descending=[True, False], k=10,
+    ).select_columns(["conv_id", "n", "sum_rt", "avg_rt_us"])
 
 
 def q_session_windows(sf_dir: str):
@@ -508,11 +518,19 @@ def q_access_discard_counts(sf_dir: str):
 
 def q_access_baseline_deviation(sf_dir: str):
     """J6 baseline deviation (webAccessLogParser.sh:1009-1023): per-URI avg
-    response time vs the perfBaseLine table; diff + %deviation."""
+    response time vs the perfBaseLine table; diff + %deviation. The baseline
+    keys filter INSIDE map_batches before the aggregate, so the collected
+    frame is bounded by the baseline table, not the URI cardinality."""
+    keys = pa.array(sorted(PERF_BASELINE_US))
+    filt = _access_parsed(sf_dir).map_batches(
+        lambda t, k=keys: t.filter(
+            pc.fill_null(pc.is_in(t["uri_path"], value_set=k), False)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     stats = grouped_stats(
-        _access_parsed(sf_dir), ["uri_path"], "rt_us", count="n", sum_="sum_rt_us"
+        filt, ["uri_path"], "rt_us", count="n", sum_="sum_rt_us"
     ).to_pandas()
-    stats = stats[stats["uri_path"].isin(PERF_BASELINE_US)].copy()
     avg = stats["sum_rt_us"] / stats["n"]
     base = stats["uri_path"].map(PERF_BASELINE_US)
     stats["avg_rt_us"] = avg.round(6)
