@@ -102,6 +102,20 @@ def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Ta
         _PARSE_CACHE[0] = key
     full = _PARSE_CACHE[1](batch)
     write_batch_sinks(full, out_dir)
+    # unknown-UA review side output (webAccessLogParser.sh:652: every
+    # well-formed record whose agent missed the cascade) — written HERE so
+    # the raw line never leaves the task; idempotent content-named parquet
+    from log_parser_ray.stages.route import write_batch_parquet
+
+    unk = full.filter(
+        pc.and_(full["ua_unknown"],
+                pc.invert(pc.equal(full["sink"], "unparsed")))
+    )
+    if unk.num_rows:
+        write_batch_parquet(
+            unk.select(["conv_id", "turn_idx", "text"]),
+            os.path.join(os.path.dirname(out_dir), "unknownua"),
+        )
     # whereuid login/logout flag derives from params+uri HERE so the narrow
     # projection stays narrow (webAccessLogParser.sh:715-719)
     full = full.append_column("wu_evt", whereuid_marker(full))
@@ -308,6 +322,23 @@ def write_user_sessions(sessions: "ray.data.Dataset", out_dir: str) -> str | Non
     if rows == 0:
         os.remove(path)
         return None
+    return path
+
+
+def _write_unknown_ua(out_dir: str) -> str | None:
+    """Stream the unknown-UA side sink (written inside the fused parse
+    tasks) to the reference's WebAccessLogSummaryUnknowUARpt.csv — raw
+    lines, no header (webAccessLogParser.sh:50,652,1544-1546); no file when
+    every agent classified."""
+    src = os.path.join(out_dir, "unknownua")
+    if not os.path.isdir(src) or not os.listdir(src):
+        return None
+    ds = ray.data.read_parquet(src).sort(["conv_id", "turn_idx"])
+    path = os.path.join(out_dir, "WebAccessLogSummaryUnknowUARpt.csv")
+    with open(path, "w") as fh:
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for txt in b["text"].to_pylist():
+                fh.write(txt + "\n")
     return path
 
 
@@ -646,6 +677,7 @@ def run(
         "top_slow": slow, "methods": methods, "total": total,
         "alerts": alerts, "sink_counts": sink_hist,
         "user_sessions_path": user_sessions_path,
+        "unknown_ua_path": _write_unknown_ua(out_dir),
     }
     report = _render_report(tables)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
@@ -813,6 +845,7 @@ def _empty_result(out_dir: str, sink_hist: pd.DataFrame,
         "total": 0,
         "sink_counts": sink_hist,
         "user_sessions_path": None,
+        "unknown_ua_path": _write_unknown_ua(out_dir),
     }
     from log_parser_ray.pipelines.reports import global_http_alerts
 

@@ -48,6 +48,48 @@ def write_sinks(
     )
 
 
+def batch_fingerprint(batch) -> str:
+    """Content-derived batch id (row count, boundary (conv_id, turn_idx)
+    rows incl. their text, turn-index sum) — a Ray task retry reproduces the
+    same name, so idempotent side writes never duplicate rows."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    h = hashlib.md5()
+    first_txt = batch["text"][0].as_py() if "text" in batch.column_names else ""
+    last_txt = batch["text"][n - 1].as_py() if "text" in batch.column_names else ""
+    turn_sum = pc.sum(batch["turn_idx"]).as_py() or 0
+    h.update(
+        (
+            f"{n}:{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
+            f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}:"
+            f"{turn_sum}:{first_txt}:{last_txt}"
+        ).encode("utf-8", "surrogatepass")
+    )
+    return h.hexdigest()[:16]
+
+
+def write_batch_parquet(batch, out_dir: str) -> None:
+    """Idempotent single-file side write (content-derived name, tmp +
+    os.replace commit) — the write_batch_sinks mechanics for an unkeyed
+    side output (e.g. the unknown-UA review sink)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if batch.num_rows == 0:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    fp = batch_fingerprint(batch)
+    comp = os.environ.get("GRAFT_SINK_COMPRESSION", "zstd")
+    kw = {"compression_level": 1} if comp == "zstd" else {}
+    tmp = os.path.join(out_dir, f".tmp-part-{fp}.parquet")
+    pq.write_table(batch, tmp, compression=None if comp == "none" else comp, **kw)
+    os.replace(tmp, os.path.join(out_dir, f"part-{fp}.parquet"))
+
+
 def write_batch_sinks(batch, out_dir: str) -> None:
     """Write ONE routed batch to the per-sink hive layout
     (``out/sink=<s>/part-<fp>.parquet``), skipping the ``sink`` column inside
@@ -61,7 +103,6 @@ def write_batch_sinks(batch, out_dir: str) -> None:
     leaves a truncated part at the final path. The ``sink`` column must be
     TOTAL (non-null for every row) — enforced, since a null sink would
     silently land in no partition."""
-    import hashlib
     import os
 
     import pyarrow as pa
@@ -70,19 +111,7 @@ def write_batch_sinks(batch, out_dir: str) -> None:
 
     if batch.num_rows == 0:
         return
-    n = batch.num_rows
-    h = hashlib.md5()
-    first_txt = batch["text"][0].as_py() if "text" in batch.column_names else ""
-    last_txt = batch["text"][n - 1].as_py() if "text" in batch.column_names else ""
-    turn_sum = pc.sum(batch["turn_idx"]).as_py() or 0
-    h.update(
-        (
-            f"{n}:{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
-            f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}:"
-            f"{turn_sum}:{first_txt}:{last_txt}"
-        ).encode("utf-8", "surrogatepass")
-    )
-    fp = h.hexdigest()[:16]
+    fp = batch_fingerprint(batch)
     if pc.any(pc.is_null(batch["sink"])).as_py():
         raise ValueError("write_batch_sinks: null sink value (routing must be total)")
     enc = batch["sink"].combine_chunks().dictionary_encode()

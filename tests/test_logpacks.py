@@ -358,6 +358,15 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
         assert got == round(pct400, 6)
     # discarded-count rule sees the sink histogram
     assert "sink_counts" in res and "sink" in res["sink_counts"].columns
+    # unknown-UA review file: one raw line per record whose agent missed the
+    # cascade (webAccessLogParser.sh:652,1544-1546)
+    unk = res["unknown_ua_path"]
+    n_unk = int(con.execute(
+        "WITH " + access_truth_cte()
+        + " SELECT COUNT(*) FROM access_truth WHERE ua_unknown"
+    ).fetchone()[0])
+    assert unk and os.path.basename(unk) == "WebAccessLogSummaryUnknowUARpt.csv"
+    assert len(open(unk).read().splitlines()) == n_unk
     # full 02 layout: every reference section renders, daily row arithmetic
     for section in [
         "===== Overall-Daily Statistics =====",
