@@ -562,6 +562,29 @@ def q_access_user_sessions(sf_dir: str):
     return user_sessions_ds(marked)
 
 
+def _access_ok(sf_dir: str):
+    return _access_parsed(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["sink"], "parsed")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_access_domain_hourly_uid(sf_dir: str):
+    """WebHourlyDomainUsageByUid: per-domain hourly distinct-user counts
+    pivoted H0..H23 (webAccessLogParser.sh:692-694,1246-1266)."""
+    from log_parser_ray.pipelines.weblog import domain_hour_usage
+
+    return domain_hour_usage(_access_ok(sf_dir), "uid")
+
+
+def q_access_domain_daily_usage(sf_dir: str):
+    """WebDlyDomainUsage: per-domain daily distinct users (uuc) and distinct
+    (cloneID, jsession) sessions (usc) (webAccessLogParser.sh:1249-1263)."""
+    from log_parser_ray.pipelines.weblog import domain_daily_usage
+
+    return domain_daily_usage(_access_ok(sf_dir))
+
+
 def q_access_top_slow_uris(sf_dir: str):
     """K2: top-10 URIs by average response time — avg derived in a
     map_batches over the per-URI aggregate, then a DISTRIBUTED top_k
@@ -1365,6 +1388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "blob_features": q_blob_features,
         "text_knn": q_text_knn,
+        "access_domain_hourly_uid": q_access_domain_hourly_uid,
+        "access_domain_daily_usage": q_access_domain_daily_usage,
     }
 
 
@@ -1846,6 +1871,40 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT tool_name, COUNT(*) AS n FROM parsed
              WHERE tool_name IS NOT NULL GROUP BY tool_name
              ORDER BY n DESC, tool_name""",
+        "access_domain_hourly_uid": A
+        + """SELECT domain,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 0 THEN uid END) AS BIGINT) AS H0,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 1 THEN uid END) AS BIGINT) AS H1,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 2 THEN uid END) AS BIGINT) AS H2,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 3 THEN uid END) AS BIGINT) AS H3,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 4 THEN uid END) AS BIGINT) AS H4,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 5 THEN uid END) AS BIGINT) AS H5,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 6 THEN uid END) AS BIGINT) AS H6,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 7 THEN uid END) AS BIGINT) AS H7,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 8 THEN uid END) AS BIGINT) AS H8,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 9 THEN uid END) AS BIGINT) AS H9,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 10 THEN uid END) AS BIGINT) AS H10,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 11 THEN uid END) AS BIGINT) AS H11,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 12 THEN uid END) AS BIGINT) AS H12,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 13 THEN uid END) AS BIGINT) AS H13,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 14 THEN uid END) AS BIGINT) AS H14,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 15 THEN uid END) AS BIGINT) AS H15,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 16 THEN uid END) AS BIGINT) AS H16,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 17 THEN uid END) AS BIGINT) AS H17,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 18 THEN uid END) AS BIGINT) AS H18,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 19 THEN uid END) AS BIGINT) AS H19,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 20 THEN uid END) AS BIGINT) AS H20,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 21 THEN uid END) AS BIGINT) AS H21,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 22 THEN uid END) AS BIGINT) AS H22,
+                   CAST(COUNT(DISTINCT CASE WHEN hour = 23 THEN uid END) AS BIGINT) AS H23
+             FROM access_truth WHERE sink = 'parsed' AND uid <> '-' AND uid <> ''
+             GROUP BY domain""",
+        "access_domain_daily_usage": A
+        + """SELECT domain,
+                    CAST(COUNT(DISTINCT CASE WHEN uid <> '-' AND uid <> '' THEN uid END) AS BIGINT) AS uuc,
+                    CAST(COUNT(DISTINCT CASE WHEN jsession <> '-' AND jsession <> ''
+                               THEN clone_id || ',' || jsession END) AS BIGINT) AS usc
+             FROM access_truth WHERE sink = 'parsed' GROUP BY domain""",
         "access_user_sessions": A
         + """, wu_marks AS (
               SELECT websrvr, was, clone_id, jsession, uid,

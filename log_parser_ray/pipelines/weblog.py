@@ -54,6 +54,7 @@ from log_parser_ray.stages.aggregate import (
     COMBINE_ROWS,
     grouped_count,
     grouped_stats,
+    pivot_counts,
     sorted_combine,
     top_k,
 )
@@ -203,6 +204,113 @@ def _dim_distincts(ok: "ray.data.Dataset", dim: str,
         if k not in wide.columns:
             wide[k] = 0
     return wide[[dim] + [k for k, _ in specs]]
+
+
+HOUR_COLS = [f"H{i}" for i in range(24)]
+
+
+def domain_hour_usage(ok: "ray.data.Dataset", val_col: str) -> "ray.data.Dataset":
+    """Per-domain hourly DISTINCT-``val_col`` counts pivoted H0..H23 — the
+    WebHourlyDomainUsageByUid/BySess tables (webAccessLogParser.sh:692-694,
+    700-703 distinct sets; :1246-1267 pivoted emit). Two-phase distinct over
+    (domain, hour, val) then a tiny grouped count + fixed-wide pivot;
+    jsession rows guard on a valid session like the reference."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t[val_col]
+        keep = pc.and_(
+            pc.fill_null(pc.not_equal(v, "-"), False),
+            pc.fill_null(pc.not_equal(v, ""), False),
+        )
+        t = t.filter(keep)
+        h = pc.binary_join_element_wise(
+            "H", pc.cast(t["hour"], pa.string()), ""
+        )
+        sub = pa.table({"domain": t["domain"], "h": h, "v": t[val_col]})
+        return sub.group_by(["domain", "h", "v"]).aggregate([])
+
+    dedup = sorted_combine(
+        _mb(ok, prep, batch_size=COMBINE_ROWS),
+        ["domain", "h", "v"], [], keep=["domain", "h", "v"],
+    )
+    counts = grouped_count(dedup, ["domain", "h"], alias="n")
+    return pivot_counts(counts, "domain", "h", "n", HOUR_COLS)
+
+
+def domain_daily_usage(ok: "ray.data.Dataset") -> pd.DataFrame:
+    """Per-domain daily distinct users (uuc) and distinct (cloneID, jsession)
+    sessions (usc) — WebDlyDomainUsage.csv (webAccessLogParser.sh:692,707,
+    1249-1263). Domain cardinality is low; the distinct shuffles are the
+    heavy part and stay two-phase."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        uidv = pc.and_(
+            pc.fill_null(pc.not_equal(t["uid"], "-"), False),
+            pc.fill_null(pc.not_equal(t["uid"], ""), False),
+        )
+        u = t.filter(uidv)
+        uid_part = pa.table(
+            {
+                "domain": u["domain"],
+                "kind": pa.array(["uuc"] * u.num_rows),
+                "v": u["uid"],
+            }
+        )
+        jsv = pc.and_(
+            pc.fill_null(pc.not_equal(t["jsession"], "-"), False),
+            pc.fill_null(pc.not_equal(t["jsession"], ""), False),
+        )
+        s = t.filter(jsv)
+        sess_part = pa.table(
+            {
+                "domain": s["domain"],
+                "kind": pa.array(["usc"] * s.num_rows),
+                "v": pc.binary_join_element_wise(
+                    s["clone_id"], s["jsession"], ","
+                ),
+            }
+        )
+        both = pa.concat_tables([uid_part, sess_part])
+        return both.group_by(["domain", "kind", "v"]).aggregate([])
+
+    dedup = sorted_combine(
+        _mb(ok, prep, batch_size=COMBINE_ROWS),
+        ["domain", "kind", "v"], [], keep=["domain", "kind", "v"],
+    )
+    counts = grouped_count(dedup, ["domain", "kind"], alias="n").to_pandas()
+    if counts.empty:
+        return pd.DataFrame(columns=["domain", "uuc", "usc"])
+    wide = counts.pivot_table(index="domain", columns="kind", values="n",
+                              aggfunc="sum", fill_value=0).reset_index()
+    for k in ("uuc", "usc"):
+        if k not in wide.columns:
+            wide[k] = 0
+    return wide[["domain", "uuc", "usc"]].sort_values("domain").reset_index(drop=True)
+
+
+def _write_domain_usage(hr_uid: pd.DataFrame, hr_sess: pd.DataFrame,
+                        daily: pd.DataFrame, out_dir: str) -> None:
+    """The reference's three domain-usage CSVs with its printf layouts
+    (dmHrlyHdFmt/dmDlyHdFmt, webAccessLogParser.sh:1242-1267,1548-1557)."""
+
+    def hourly(df: pd.DataFrame, path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write("\t".join(["Domain".ljust(35)]
+                               + [f"{h:>5}" for h in HOUR_COLS]) + "\n")
+            for _, r in df.sort_values("domain").iterrows():
+                fh.write("\t".join([str(r["domain"]).ljust(35)]
+                                   + [f"{int(r[h]):5d}" for h in HOUR_COLS])
+                         + "\n")
+
+    hourly(hr_uid, os.path.join(out_dir, "WebHourlyDomainUsageByUid.csv"))
+    hourly(hr_sess, os.path.join(out_dir, "WebHourlyDomainUsageBySess.csv"))
+    with open(os.path.join(out_dir, "WebDlyDomainUsage.csv"), "w") as fh:
+        fh.write("\t".join(["Domain".ljust(35), f"{'uuc':>5}", f"{'usc':>5}"])
+                 + "\n")
+        for _, r in daily.iterrows():
+            fh.write("\t".join([str(r["domain"]).ljust(35),
+                                f"{int(r['uuc']):5d}", f"{int(r['usc']):5d}"])
+                     + "\n")
 
 
 def whereuid_marker(
@@ -530,6 +638,12 @@ def run(
         f_wu = ex.submit(
             lambda: write_user_sessions(user_sessions_ds(ok), out_dir)
         )
+        # domain-usage tables (webAccessLogParser.sh:1242-1267)
+        f_dm_uid = ex.submit(lambda: domain_hour_usage(ok, "uid").to_pandas())
+        f_dm_sess = ex.submit(
+            lambda: domain_hour_usage(ok, "jsession").to_pandas()
+        )
+        f_dm_daily = ex.submit(lambda: domain_daily_usage(ok))
         hourly = f_hourly.result()
         uu_wide = f_uu.result()
         rc = f_rc.result()
@@ -547,6 +661,10 @@ def run(
         browser_usage = f_bw.result()
         os_usage = f_os.result()
         user_sessions_path = f_wu.result()
+        dm_uid = f_dm_uid.result()
+        dm_sess = f_dm_sess.result()
+        dm_daily = f_dm_daily.result()
+    _write_domain_usage(dm_uid, dm_sess, dm_daily, out_dir)
 
     # ---- hourly table + daily totals --------------------------------------
     hourly = hourly.merge(uu_wide, on="hour", how="left")
@@ -678,6 +796,8 @@ def run(
         "alerts": alerts, "sink_counts": sink_hist,
         "user_sessions_path": user_sessions_path,
         "unknown_ua_path": _write_unknown_ua(out_dir),
+        "domain_hourly_uid": dm_uid, "domain_hourly_sess": dm_sess,
+        "domain_daily": dm_daily,
     }
     report = _render_report(tables)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
@@ -846,6 +966,9 @@ def _empty_result(out_dir: str, sink_hist: pd.DataFrame,
         "sink_counts": sink_hist,
         "user_sessions_path": None,
         "unknown_ua_path": _write_unknown_ua(out_dir),
+        "domain_hourly_uid": empty(columns=["domain"] + HOUR_COLS),
+        "domain_hourly_sess": empty(columns=["domain"] + HOUR_COLS),
+        "domain_daily": empty(columns=["domain", "uuc", "usc"]),
     }
     from log_parser_ray.pipelines.reports import global_http_alerts
 

@@ -358,6 +358,23 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
         assert got == round(pct400, 6)
     # discarded-count rule sees the sink histogram
     assert "sink_counts" in res and "sink" in res["sink_counts"].columns
+    # domain-usage tables (webAccessLogParser.sh:1246-1267): all three CSVs
+    # render; daily distinct-user counts pinned against truth
+    for f in ("WebHourlyDomainUsageByUid.csv", "WebHourlyDomainUsageBySess.csv",
+              "WebDlyDomainUsage.csv"):
+        assert os.path.isfile(os.path.join(out, f)), f
+    dd = res["domain_daily"]
+    exp_dd = con.execute(
+        "WITH " + access_truth_cte()
+        + " SELECT domain, COUNT(DISTINCT uid) AS uuc FROM access_truth"
+          " WHERE sink = 'parsed' GROUP BY domain ORDER BY domain"
+    ).df()
+    assert dd["domain"].tolist() == exp_dd["domain"].tolist()
+    assert dd["uuc"].tolist() == exp_dd["uuc"].tolist()
+    # hourly pivot row sums = daily non-distinct upper bound sanity: every
+    # domain present with 24 hour columns
+    assert list(res["domain_hourly_uid"].columns) == ["domain"] + [
+        f"H{i}" for i in range(24)]
     # unknown-UA review file: one raw line per record whose agent missed the
     # cascade (webAccessLogParser.sh:652,1544-1546)
     unk = res["unknown_ua_path"]
