@@ -585,6 +585,31 @@ def q_access_domain_daily_usage(sf_dir: str):
     return domain_daily_usage(_access_ok(sf_dir))
 
 
+def q_access_uid_detail(sf_dir: str):
+    """FULL per-UID perf table (app rows only): range %s, xrc, art — the
+    WebAccessLogSummaryByUIDRpt.csv content (webAccessLogParser.sh:758-760,
+    970-979,1413-1436); output stays a distributed Dataset."""
+    from log_parser_ray.pipelines.weblog import _prep, uid_detail_ds
+
+    prepped = _access_ok(sf_dir).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return uid_detail_ds(prepped)
+
+
+def q_access_uri_detail(sf_dir: str):
+    """FULL per-URI perf table over all parsed rows: range %s, cnt, min/max/
+    avg seconds + perfBaseLine bart/diff — the
+    WebAccessLogSummaryByTransactionRpt.csv content
+    (webAccessLogParser.sh:723-727,1001-1022)."""
+    from log_parser_ray.pipelines.weblog import _prep, uri_detail_ds
+
+    prepped = _access_ok(sf_dir).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return uri_detail_ds(prepped, PERF_BASELINE_US)
+
+
 def q_access_top_slow_uris(sf_dir: str):
     """K2: top-10 URIs by average response time — avg derived in a
     map_batches over the per-URI aggregate, then a DISTRIBUTED top_k
@@ -1389,6 +1414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_features": q_blob_features,
         "text_knn": q_text_knn,
         "access_domain_hourly_uid": q_access_domain_hourly_uid,
+        "access_uid_detail": q_access_uid_detail,
+        "access_uri_detail": q_access_uri_detail,
         "access_domain_daily_usage": q_access_domain_daily_usage,
     }
 
@@ -1871,6 +1898,34 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT tool_name, COUNT(*) AS n FROM parsed
              WHERE tool_name IS NOT NULL GROUP BY tool_name
              ORDER BY n DESC, tool_name""",
+        "access_uid_detail": A
+        + f"""SELECT uid,
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=1sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=1sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=5sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=5sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=10sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=10sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=20sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=20sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '>20sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS ">20sec",
+                    CAST(COUNT(*) AS BIGINT) AS xrc,
+                    round_even(SUM(rt_us) * 1.0 / COUNT(*) / 1e6, 6) AS art
+             FROM access_truth
+             WHERE sink = 'parsed' AND ext NOT IN ({_STATIC_SQL})
+             GROUP BY uid""",
+        "access_uri_detail": A
+        + f"""SELECT uri_path,
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=1sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=1sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=5sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=5sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=10sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=10sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '<=20sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS "<=20sec",
+                    round_even(100.0 * SUM(CASE WHEN resp_range = '>20sec' THEN 1 ELSE 0 END) / COUNT(*), 6) AS ">20sec",
+                    CAST(COUNT(*) AS BIGINT) AS cnt,
+                    round_even(MIN(rt_us) / 1e6, 6) AS mnrt,
+                    round_even(MAX(rt_us) / 1e6, 6) AS mxrt,
+                    round_even(SUM(rt_us) * 1.0 / COUNT(*) / 1e6, 6) AS art,
+                    {_baseline_case()} / 1e6 AS bart,
+                    round_even(round_even(SUM(rt_us) * 1.0 / COUNT(*) / 1e6, 6)
+                               - {_baseline_case()} / 1e6, 6) AS diff
+             FROM access_truth WHERE sink = 'parsed'
+             GROUP BY uri_path""",
         "access_domain_hourly_uid": A
         + """SELECT domain,
                    CAST(COUNT(DISTINCT CASE WHEN hour = 0 THEN uid END) AS BIGINT) AS H0,

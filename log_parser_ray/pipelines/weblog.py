@@ -209,6 +209,103 @@ def _dim_distincts(ok: "ray.data.Dataset", dim: str,
 HOUR_COLS = [f"H{i}" for i in range(24)]
 
 
+def uid_detail_ds(prepped: "ray.data.Dataset") -> "ray.data.Dataset":
+    """FULL per-UID perf table (app rows only, like the reference's
+    arrUidRange/arrUidSum/arrUidCnt accumulated inside the static-exclusion
+    branch, webAccessLogParser.sh:758-760,970-979): per uid the five range
+    percentages, app count (xrc) and average response seconds. Output stays
+    a distributed Dataset — uid cardinality is unbounded; the CSV render
+    streams it (WebAccessLogSummaryByUIDRpt.csv)."""
+    stats = _dim_stats_ds(prepped, "uid")
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["xrc"], 0))
+        xrc = pc.cast(t["xrc"], pa.float64())
+        cols = {"uid": t["uid"]}
+        for lbl in RANGE_LABELS:
+            cols[lbl] = pc.round(
+                pc.divide(pc.multiply(
+                    pc.cast(t[f"_n_{lbl}"], pa.float64()), 100.0), xrc),
+                ndigits=6,
+            )
+        cols["xrc"] = t["xrc"]
+        cols["art"] = pc.round(
+            pc.divide(pc.divide(
+                pc.cast(t["sum_rt_app"], pa.float64()), xrc), 1e6),
+            ndigits=6,
+        )
+        return pa.table(cols)
+
+    return _mb(stats, derive)
+
+
+def uri_detail_ds(
+    prepped: "ray.data.Dataset",
+    perf_baseline_us: dict[str, float] | None = None,
+) -> "ray.data.Dataset":
+    """FULL per-URI perf table over ALL parsed rows (arrURIRange/arrURICnt
+    accumulate outside the exclusion branch, webAccessLogParser.sh:723-727,
+    1001-1022): range percentages, count, min/max/avg response seconds, and
+    the perfBaseLine comparison (bart + diff; null without a baseline row).
+    One fused two-phase shuffle; the baseline map is a closure constant
+    (shipped once per task). Distributed output — the CSV render streams it
+    (WebAccessLogSummaryByTransactionRpt.csv)."""
+    base_items = tuple(sorted((perf_baseline_us or {}).items()))
+
+    aggs = [(lbl, "sum") for lbl in RANGE_LABELS] + [
+        ("rt_us", "sum"), ("rt_us", "min"), ("rt_us", "max"),
+        ("", "count_all"),
+    ]
+    part = _mb(prepped, _partial(["uri_path"], aggs), batch_size=COMBINE_ROWS)
+    agg = sorted_combine(
+        part, ["uri_path"],
+        [(f"{lbl}_sum", "sum") for lbl in RANGE_LABELS]
+        + [("rt_us_sum", "sum"), ("rt_us_min", "min"), ("rt_us_max", "max"),
+           ("count_all", "sum")],
+        renames={f"{lbl}_sum_sum": f"_n_{lbl}" for lbl in RANGE_LABELS}
+        | {"rt_us_sum_sum": "_s", "rt_us_min_min": "_mn",
+           "rt_us_max_max": "_mx", "count_all_sum": "cnt"},
+        keep=["uri_path", "cnt", "_s", "_mn", "_mx"]
+        + [f"_n_{lbl}" for lbl in RANGE_LABELS],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["cnt"], 0))
+        cnt = pc.cast(t["cnt"], pa.float64())
+        cols = {"uri_path": t["uri_path"]}
+        for lbl in RANGE_LABELS:
+            cols[lbl] = pc.round(
+                pc.divide(pc.multiply(
+                    pc.cast(t[f"_n_{lbl}"], pa.float64()), 100.0), cnt),
+                ndigits=6,
+            )
+        cols["cnt"] = t["cnt"]
+        cols["mnrt"] = pc.round(
+            pc.divide(pc.cast(t["_mn"], pa.float64()), 1e6), ndigits=6)
+        cols["mxrt"] = pc.round(
+            pc.divide(pc.cast(t["_mx"], pa.float64()), 1e6), ndigits=6)
+        art = pc.round(
+            pc.divide(pc.divide(pc.cast(t["_s"], pa.float64()), cnt), 1e6),
+            ndigits=6,
+        )
+        cols["art"] = art
+        # baseline lookup over the URI dictionary (tiny map, broadcast by
+        # closure), in SECONDS like the file's bart column
+        enc = t["uri_path"].combine_chunks().dictionary_encode()
+        bmap = dict(base_items)
+        bvals = pa.array(
+            [bmap[u] / 1e6 if u in bmap else None
+             for u in enc.dictionary.to_pylist()],
+            pa.float64(),
+        )
+        bart = bvals.take(enc.indices)
+        cols["bart"] = bart
+        cols["diff"] = pc.round(pc.subtract(art, bart), ndigits=6)
+        return pa.table(cols)
+
+    return _mb(agg, derive)
+
+
 def domain_hour_usage(ok: "ray.data.Dataset", val_col: str) -> "ray.data.Dataset":
     """Per-domain hourly DISTINCT-``val_col`` counts pivoted H0..H23 — the
     WebHourlyDomainUsageByUid/BySess tables (webAccessLogParser.sh:692-694,
@@ -311,6 +408,63 @@ def _write_domain_usage(hr_uid: pd.DataFrame, hr_sess: pd.DataFrame,
             fh.write("\t".join([str(r["domain"]).ljust(35),
                                 f"{int(r['uuc']):5d}", f"{int(r['usc']):5d}"])
                      + "\n")
+
+
+def _stream_detail(ds: "ray.data.Dataset", path: str, header: str,
+                   fmt_row, sort_by, descending) -> str:
+    """Stream a (possibly unbounded) detail Dataset to a report file in the
+    reference's sorted printf layout — sorted distributedly, rendered batch
+    by batch, never a full driver collect."""
+    srt = ds.sort(sort_by, descending=descending)
+    with open(path, "w") as fh:
+        fh.write(header + "\n")
+        for b in srt.iter_batches(batch_format="pandas"):
+            for row in b.itertuples(index=False):
+                fh.write(fmt_row(row) + "\n")
+    return path
+
+
+def write_uid_detail(detail: "ray.data.Dataset", out_dir: str) -> str:
+    """WebAccessLogSummaryByUIDRpt.csv: FULL per-UID table sorted by avg
+    desc (webAccessLogParser.sh:47,1413-1436 uidHdFmt/uidBdFmt layout)."""
+    hdr = "\t".join(["uid".ljust(40)] + [f"{l:>7}" for l in RANGE_LABELS]
+                    + [f"{'xrc':>9}", f"{'art':>7}"])
+
+    def fmt(r) -> str:
+        vals = [str(r.uid).ljust(40)]
+        vals += [f"{getattr(r, f'_{i + 1}'):7.3f}" for i in range(5)]
+        return "\t".join(vals + [f"{int(r.xrc):9d}", f"{r.art:7.3f}"])
+
+    return _stream_detail(
+        detail, os.path.join(out_dir, "WebAccessLogSummaryByUIDRpt.csv"),
+        hdr, fmt, ["art", "uid"], [True, False],
+    )
+
+
+def write_uri_detail(detail: "ray.data.Dataset", out_dir: str) -> str:
+    """WebAccessLogSummaryByTransactionRpt.csv: FULL per-URI table sorted by
+    avg desc (webAccessLogParser.sh:46,1331-1354: ranges, cnt, mnrt, mxrt,
+    art, bart, diff, trn; bart/diff blank without a baseline row)."""
+    hdr = "\t".join([f"{l:>7}" for l in RANGE_LABELS]
+                    + [f"{'cnt':>9}", f"{'mnrt':>7}", f"{'mxrt':>9}",
+                       f"{'art':>7}", f"{'bart':>7}", f"{'diff':>7}", "trn"])
+
+    def fmt(r) -> str:
+        import math
+
+        vals = [f"{getattr(r, f'_{i + 1}'):7.3f}" for i in range(5)]
+        vals += [f"{int(r.cnt):9d}", f"{r.mnrt:7.3f}", f"{r.mxrt:9.3f}",
+                 f"{r.art:7.3f}"]
+        blank = r.bart is None or (isinstance(r.bart, float) and math.isnan(r.bart))
+        vals += ["" if blank else f"{r.bart:7.3f}",
+                 "" if blank else f"{r.diff:7.3f}", str(r.uri_path)]
+        return "\t".join(vals)
+
+    return _stream_detail(
+        detail,
+        os.path.join(out_dir, "WebAccessLogSummaryByTransactionRpt.csv"),
+        hdr, fmt, ["art", "uri_path"], [True, False],
+    )
 
 
 def whereuid_marker(
@@ -458,6 +612,7 @@ def run(
     clone_map=None,
     history_root: str | None = None,
     run_date: str | None = None,
+    perf_baseline_us: dict[str, float] | None = None,
 ) -> dict:
     """Parse real access_log files → routed sinks + report tables + text
     report. Returns the small report frames."""
@@ -644,6 +799,16 @@ def run(
             lambda: domain_hour_usage(ok, "jsession").to_pandas()
         )
         f_dm_daily = ex.submit(lambda: domain_daily_usage(ok))
+        # FULL per-UID / per-URI detail files — distributed derive +
+        # streaming sorted write (webAccessLogParser.sh:1331-1436)
+        f_uid_csv = ex.submit(
+            lambda: write_uid_detail(uid_detail_ds(prepped), out_dir)
+        )
+        f_uri_csv = ex.submit(
+            lambda: write_uri_detail(
+                uri_detail_ds(prepped, perf_baseline_us), out_dir
+            )
+        )
         hourly = f_hourly.result()
         uu_wide = f_uu.result()
         rc = f_rc.result()
@@ -664,6 +829,8 @@ def run(
         dm_uid = f_dm_uid.result()
         dm_sess = f_dm_sess.result()
         dm_daily = f_dm_daily.result()
+        uid_detail_path = f_uid_csv.result()
+        uri_detail_path = f_uri_csv.result()
     _write_domain_usage(dm_uid, dm_sess, dm_daily, out_dir)
 
     # ---- hourly table + daily totals --------------------------------------
@@ -734,12 +901,22 @@ def run(
     if len(rc):
         rc["pc"] = (100.0 * rc["cnt"] / total).round(3)
 
-    # ---- domain top-5 by app-only avg -------------------------------------
-    dom5 = _finish_dim(dom_stats) if len(dom_stats) else dom_stats
-    if len(dom5):
-        dom5 = dom5[dom5["xrc"] > 0].sort_values(
-            ["art", "domain"], ascending=[False, True]).head(5)
-        dom5 = dom5[["domain", "art", "xrc"]].reset_index(drop=True)
+    # ---- domain table: full CSV (bounded dim) + top-5 for the 02 render ---
+    dom_full = _finish_dim(dom_stats) if len(dom_stats) else dom_stats
+    if len(dom_full):
+        dom_full = dom_full[dom_full["xrc"] > 0].sort_values(
+            ["art", "domain"], ascending=[False, True]).reset_index(drop=True)
+    # WebAccessLogSummaryByDomainRpt.csv (webAccessLogParser.sh:45,
+    # 1025-1035,1383-1410: name|art|xrc sorted by avg desc)
+    with open(os.path.join(out_dir, "WebAccessLogSummaryByDomainRpt.csv"),
+              "w") as fh:
+        fh.write("\t".join(["name".ljust(20), f"{'art':>7}", f"{'xrc':>8}"])
+                 + "\n")
+        for _, r in dom_full.iterrows():
+            fh.write(f"{str(r['domain']):<20}\t{r['art']:7.3f}\t"
+                     f"{int(r['xrc']):8d}\n")
+    dom5 = dom_full.head(5)[["domain", "art", "xrc"]].reset_index(drop=True) \
+        if len(dom_full) else dom_full
 
     # ---- extension summary (app rows only — static exts have no app rows) -
     exts = _finish_dim(ext_stats) if len(ext_stats) else ext_stats
@@ -774,6 +951,27 @@ def run(
         "n_400": int(rc.loc[rc["response"] >= 400, "cnt"].sum()) if total else 0,
         "n_disc": n_disc,
     })
+    # per-hour + per-domain avg-resp-time alerts (webAccessLogParser.sh:912,
+    # 1031-1034): the same threshold key applied to the hourly all-rows avg
+    # and the per-domain app-only avg — both frames are bounded (≤24 hours,
+    # low-cardinality domains)
+    from log_parser_ray.schema import FAMILY_THRESHOLDS
+
+    th_avg = float(FAMILY_THRESHOLDS["http.httpAvgRespTimeTh"])
+    extra = [
+        {"rule": "http.httpAvgRespTimeTh", "key": f"hour:{int(r['hour'])}",
+         "value": float(r["art"]), "threshold": th_avg}
+        for _, r in hourly.iterrows() if r["art"] > th_avg
+    ] + [
+        {"rule": "http.httpAvgRespTimeTh", "key": f"domain:{r['domain']}",
+         "value": float(r["art"]), "threshold": th_avg}
+        for _, r in dom_full.iterrows() if r["art"] > th_avg
+    ]
+    if extra:
+        alerts = (
+            pd.concat([alerts, pd.DataFrame(extra)], ignore_index=True)
+            .sort_values(["rule", "key"]).reset_index(drop=True)
+        )
 
     if history_root is not None and run_date is not None:
         # IO5: the reference's daily history CSVs (hourly avg, per-code,
@@ -797,7 +995,9 @@ def run(
         "user_sessions_path": user_sessions_path,
         "unknown_ua_path": _write_unknown_ua(out_dir),
         "domain_hourly_uid": dm_uid, "domain_hourly_sess": dm_sess,
-        "domain_daily": dm_daily,
+        "domain_daily": dm_daily, "domain_full": dom_full,
+        "uid_detail_path": uid_detail_path,
+        "uri_detail_path": uri_detail_path,
     }
     report = _render_report(tables)
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
@@ -969,6 +1169,9 @@ def _empty_result(out_dir: str, sink_hist: pd.DataFrame,
         "domain_hourly_uid": empty(columns=["domain"] + HOUR_COLS),
         "domain_hourly_sess": empty(columns=["domain"] + HOUR_COLS),
         "domain_daily": empty(columns=["domain", "uuc", "usc"]),
+        "domain_full": empty(columns=["domain", "art", "xrc"]),
+        "uid_detail_path": None,
+        "uri_detail_path": None,
     }
     from log_parser_ray.pipelines.reports import global_http_alerts
 

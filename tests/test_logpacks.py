@@ -414,6 +414,26 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
     assert len(raw) <= 10 and (raw["rt_us"].diff().dropna() <= 0).all()
     # 400+ table only has 400+ codes
     assert (res["top400"]["response"] >= 400).all()
+    # FULL detail CSVs (webAccessLogParser.sh:1331-1436): per-UID, per-URI,
+    # per-domain files render, sorted by avg desc, counts additive vs truth
+    uidf = res["uid_detail_path"]
+    urif = res["uri_detail_path"]
+    assert uidf and os.path.basename(uidf) == "WebAccessLogSummaryByUIDRpt.csv"
+    assert urif and os.path.basename(urif) == "WebAccessLogSummaryByTransactionRpt.csv"
+    assert os.path.isfile(os.path.join(out, "WebAccessLogSummaryByDomainRpt.csv"))
+    uri_rows = [ln.split("\t") for ln in open(urif).read().splitlines()[1:]]
+    assert sum(int(r[5]) for r in uri_rows) == res["total"]
+    arts = [float(r[8]) for r in uri_rows]
+    assert arts == sorted(arts, reverse=True)
+    uid_rows = [ln.split("\t") for ln in open(uidf).read().splitlines()[1:]]
+    from log_parser_ray.pipelines.weblog import STATIC_EXTS
+    static_sql = ", ".join(f"'{e}'" for e in STATIC_EXTS)
+    t_nuid = con.execute(
+        "WITH " + access_truth_cte()
+        + " SELECT COUNT(DISTINCT uid) FROM access_truth WHERE sink = 'parsed'"
+          f" AND ext NOT IN ({static_sql})"
+    ).fetchone()[0]
+    assert len(uid_rows) == t_nuid
 
 
 def test_master_orchestrator(ray_session, sf_dir, tmp_path):
