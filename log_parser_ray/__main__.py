@@ -92,7 +92,11 @@ def main(argv=None) -> int:
     if args.access_logs:
         from log_parser_ray.pipelines import weblog
 
-        res = weblog.run(args.access_logs, args.out, file_pattern=args.file_pattern)
+        res = weblog.run(
+            args.access_logs, args.out, file_pattern=args.file_pattern,
+            history_root=history_root if daily else None,
+            run_date=args.record_date if daily else None,
+        )
         print(json.dumps({
             "total": res["total"],
             "report": res["report_path"],

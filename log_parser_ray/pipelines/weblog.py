@@ -984,6 +984,15 @@ def run(
         append_history(history_root, "access_alerts", run_date, alerts)
         append_history(history_root, "access_daily",
                        run_date, pd.DataFrame([daily]))
+        # the remaining per-day reference histories: request types by host
+        # (webAccessLogParser.sh:85,823 — long form of the GET|POST|… pivot),
+        # per-IHS and per-WAS daily stats rows
+        # (webAccessLogParser.sh:107,1104 and :125,1158)
+        append_history(history_root, "access_request_types", run_date, methods)
+        append_history(history_root, "access_stats_by_ihs",
+                       run_date, ws_table)
+        append_history(history_root, "access_stats_by_was",
+                       run_date, was_table)
 
     tables = {
         "hourly": hourly, "daily": daily, "ws": ws_table, "was": was_table,

@@ -650,6 +650,18 @@ def test_weblog_history_append_idempotent(ray_session, sf_dir, tmp_path):
                history_root=hist, run_date="2017-11-04")
     h2 = pq.read_table(hist + "/access_response_codes").to_pandas()
     assert set(h2["date"].astype(str)) == {"2017-11-03", "2017-11-04"}
+    # all eight reference history families exist (webAccessLogParser.sh:
+    # 57-109: perf/hourly/codes/top-slow/alerts + request-type, by-IHS,
+    # by-WAS stats rows)
+    for fam, keys in [("access_request_types", ["websrvr", "request"]),
+                      ("access_stats_by_ihs", ["websrvr"]),
+                      ("access_stats_by_was", ["was"])]:
+        t = pq.read_table(os.path.join(hist, fam)).to_pandas()
+        assert set(t["date"].astype(str)) == {"2017-11-03", "2017-11-04"}
+        one = t[t["date"].astype(str) == "2017-11-03"]
+        assert len(one) == len(one.drop_duplicates(subset=keys)), fam
+    ihs = pq.read_table(hist + "/access_stats_by_ihs").to_pandas()
+    assert {"uuc", "jsc", "art", "xrpc", "irpc"} <= set(ihs.columns)
 
 
 @_slow
