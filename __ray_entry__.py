@@ -835,6 +835,19 @@ def q_was_msgid_counts(sf_dir: str):
     return grouped_count(q_was_parsed_rows(sf_dir), ["msg_id", "evt_type"], alias="n")
 
 
+def q_was_err_cmp_ranking(sf_dir: str):
+    """K6 on the WAS pack: the FULL error/fatal-by-component ranking that
+    backs WASLogSummaryByErrCmpRpt.csv (websphereLogParser.sh:674-691 —
+    the 01 render shows its top-10; the CSV holds every row)."""
+    counts = grouped_count(
+        q_was_parsed_rows(sf_dir), ["component", "evt_type"], alias="cnt")
+    return counts.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["evt_type"], value_set=pa.array(["E", "F"]))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_was_tto_pairs(sf_dir: str):
     """J2/ST6 on the REAL msgIds: WTRN0124I completions joined as-of to the
     most recent prior WTRN0006W declare per (server, thread)."""
@@ -1417,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_uid_detail": q_access_uid_detail,
         "access_uri_detail": q_access_uri_detail,
         "access_domain_daily_usage": q_access_domain_daily_usage,
+        "was_err_cmp_ranking": q_was_err_cmp_ranking,
     }
 
 
@@ -2054,6 +2068,9 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT srv, evt_type, COUNT(*) AS n FROM was_truth GROUP BY srv, evt_type",
         "was_msgid_counts": W
         + "SELECT msg_id, evt_type, COUNT(*) AS n FROM was_truth GROUP BY msg_id, evt_type",
+        "was_err_cmp_ranking": W
+        + """SELECT component, evt_type, COUNT(*) AS cnt FROM was_truth
+             WHERE evt_type IN ('E', 'F') GROUP BY component, evt_type""",
         "was_tto_pairs": W
         + """SELECT line_id, srv, thread, tran_id, timeout_s, declare_line FROM (
                SELECT line_id, srv, thread, msg_id,

@@ -193,7 +193,7 @@ def run(
         # 01_WASLogSummaryRpt: the reference's top-10×8-dimension summary
         # plus hung/tto/starvation/OOM sections, rendered from the same
         # distributed aggregates (websphereLogParser.sh:440-900)
-        wt = was_summary_tables(parsed)
+        wt = was_summary_tables(parsed, out_dir=os.path.join(out_dir, "was"))
         with open(os.path.join(out_dir, "was",
                                "01_WASLogSummaryRpt.txt"), "w") as fh:
             fh.write(render_was_summary(wt, record_date=record_date or ""))

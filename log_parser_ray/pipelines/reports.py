@@ -218,7 +218,114 @@ def filtered_error_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return grouped_count(rows, ["srv", "msg"], alias="cnt")
 
 
-def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
+def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
+                fmt_row, sort_by, descending) -> str:
+    """Stream a Dataset to a CSV report file in the reference's sorted
+    printf layout — sorted distributedly, rendered batch by batch."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    srt = ds.sort(sort_by, descending=descending) if ds.count() else ds
+    with open(path, "w") as fh:
+        if header is not None:
+            fh.write(header + "\n")
+        for b in srt.iter_batches(batch_format="pandas"):
+            for row in b.itertuples(index=False):
+                fh.write(fmt_row(row) + "\n")
+    return path
+
+
+# per-dimension (err_file, warn_file, header, row formatter) — the
+# reference's weJHfmt/weJBfmt printf layouts (websphereLogParser.sh:
+# cmp :682-691,707-716; cls :730-739,753-762; exp :776-785,799-808;
+# msg :822-831,845-854), each sorted by count desc
+_WAS_RANK_LAYOUTS: dict[str, tuple] = {
+    "component": (
+        "WASLogSummaryByErrCmpRpt.csv", "WASLogSummaryByWarnCmpRpt.csv",
+        f"{'cmp':<25}\t{'evt':<3}\t{'cnt':>6}",
+        lambda d, e, c: f"{d:<25}\t{e:<3}\t{c:6d}",
+    ),
+    "cls": (
+        "WASLogSummaryByErrClassRpt.csv", "WASLogSummaryByWarnClassRpt.csv",
+        f"{'evt':<3}\t{'cnt':>6}\t{'cmp':<50}",
+        lambda d, e, c: f"{e:<3}\t{c:6d}\t{d:<50}",
+    ),
+    "exp": (
+        "WASLogSummaryByErrExpRpt.csv", "WASLogSummaryByWarnExpRpt.csv",
+        f"{'exp':<25}\t{'evt':<3}\t{'cnt':>6}",
+        lambda d, e, c: f"{d:<25}\t{e:<3}\t{c:6d}",
+    ),
+    "msg": (
+        "WASLogSummaryByErrMsgRpt.csv", "WASLogSummaryByWarnMsgRpt.csv",
+        f"{'cnt':>6}\t{'evt':<3}\t{'msg':<25}",
+        lambda d, e, c: f"{c:6d}\t{e:<3}\t{d:<25}",
+    ),
+}
+
+
+def write_was_rank_csvs(counts: dict[str, "ray.data.Dataset"],
+                        out_dir: str) -> list[str]:
+    """The reference's eight FULL-ranking CSVs next to the 01 render — the
+    01 report shows each dimension's top-10 and points at these files for
+    the complete list (websphereLogParser.sh:56-64,867-874). ``counts``
+    maps dim → the materialized (dim, evt_type, cnt) Dataset the top-10s
+    were cut from, so this is render-only work."""
+    import os
+
+    paths = []
+    for dim, (err_name, warn_name, hdr, fmt) in _WAS_RANK_LAYOUTS.items():
+        ds = counts[dim]
+        for fname, evts in ((err_name, ("E", "F")), (warn_name, ("W",))):
+            filt = ds.map_batches(
+                lambda t, e=evts, d=dim: t.filter(pc.and_(
+                    pc.is_in(t["evt_type"], value_set=pa.array(list(e))),
+                    pc.is_valid(t[d]),
+                )),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            paths.append(_stream_csv(
+                filt, os.path.join(out_dir, fname), hdr,
+                lambda r, f=fmt, d=dim: f(str(getattr(r, d)), r.evt_type,
+                                          int(r.cnt)),
+                ["cnt", dim, "evt_type"], [True, False, False],
+            ))
+    return paths
+
+
+def write_was_filtered_detail(parsed: "ray.data.Dataset",
+                              out_dir: str) -> str:
+    """WASLogFilteredErrRpt.csv — every record matching the WASCustomFilter
+    patterns, in full (the reference's .filter stream committed verbatim,
+    websphereLogParser.sh:123,618-650,867). Distributed filter + streaming
+    sorted write; no header line, like the reference's raw stream."""
+    import os
+
+    from log_parser_ray.schema import FILTER_PATTERNS
+
+    union_rx = "|".join(f"(?:{p})" for p in FILTER_PATTERNS)
+
+    def fn(t: pa.Table) -> pa.Table:
+        sub = t.filter(
+            pc.is_valid(pc.extract_regex(t["msg"], f"(?P<v>{union_rx})"))
+        )
+        return pa.table({
+            "line_id": sub["line_id"], "srv": sub["srv"], "dtm": sub["dtm"],
+            "thread": sub["thread"], "component": sub["component"],
+            "evt_type": sub["evt_type"], "msg": sub["msg"],
+        })
+
+    rows = parsed.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _stream_csv(
+        rows, os.path.join(out_dir, "WASLogFilteredErrRpt.csv"), None,
+        lambda r: f"{r.srv} {r.dtm} {r.thread} {r.component} "
+                  f"{r.evt_type} {r.msg}",
+        ["srv", "line_id"], [False, False],
+    )
+
+
+def was_summary_tables(parsed: "ray.data.Dataset",
+                       out_dir: str | None = None) -> dict:
     """All 01-report tables as collected (bounded) frames + alert rows.
 
     ``parsed`` is the parse_was_lines output; every aggregate below is a
@@ -392,6 +499,15 @@ def was_summary_tables(parsed: "ray.data.Dataset") -> dict:
     tto_by_jvm = _df(
         grouped_count(tto, ["srv"], alias="cnt"), ["srv", "cnt"]
     ).sort_values("srv").reset_index(drop=True)
+
+    if out_dir is not None:
+        # the standalone full-ranking CSVs + the filtered-error detail file
+        # (websphereLogParser.sh:56-64,867-874) — written from the SAME
+        # materialized count Datasets the top-10s are cut from
+        write_was_rank_csvs(
+            {"component": cmp_counts, "cls": cls_counts,
+             "exp": exp_counts, "msg": msg_counts}, out_dir)
+        write_was_filtered_detail(parsed, out_dir)
 
     tables = {
         "srv_evt": srv_evt,

@@ -479,6 +479,19 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     assert rd.read_parquet(os.path.join(out, "gc", "invocations")).count() == 1000
     # 01/04 summary reports rendered from the same run (reports.py)
     assert os.path.isfile(os.path.join(out, "was", "01_WASLogSummaryRpt.txt"))
+    # the nine standalone WAS CSVs (websphereLogParser.sh:56-64): eight full
+    # rankings (superset of the 01 top-10s, sorted by count desc) + the
+    # filtered-error detail stream
+    for pre in ("Err", "Warn"):
+        for dim in ("Cmp", "Class", "Exp", "Msg"):
+            f = os.path.join(out, "was", f"WASLogSummaryBy{pre}{dim}Rpt.csv")
+            assert os.path.isfile(f), f
+    cmp_lines = open(os.path.join(
+        out, "was", "WASLogSummaryByErrCmpRpt.csv")).read().splitlines()[1:]
+    cnts = [int(ln.split("\t")[2]) for ln in cmp_lines]
+    assert cnts == sorted(cnts, reverse=True) and len(cnts) >= 1
+    filt_f = os.path.join(out, "was", "WASLogFilteredErrRpt.csv")
+    assert os.path.isfile(filt_f)
     assert os.path.isfile(os.path.join(out, "gc", "04_GCSummaryRpt.txt"))
     assert os.path.isfile(os.path.join(out, "alerts.csv"))
     # per-family lineage lines
