@@ -835,6 +835,18 @@ def q_was_msgid_counts(sf_dir: str):
     return grouped_count(q_was_parsed_rows(sf_dir), ["msg_id", "evt_type"], alias="n")
 
 
+def q_errlog_recycles(sf_dir: str):
+    """The IHS restart notices out of the fused error-family parse — the
+    rows behind the reference's per-recycle alert + RecycleHistoryRpt_all
+    daily append (webErrorLogParser.sh:45-49,248-253)."""
+    from log_parser_ray.stages.errorlog import (
+        parse_error_families,
+        recycle_rows,
+    )
+
+    return recycle_rows(parse_error_families(synth_error_lines(sf_dir)))
+
+
 def q_was_err_cmp_ranking(sf_dir: str):
     """K6 on the WAS pack: the FULL error/fatal-by-component ranking that
     backs WASLogSummaryByErrCmpRpt.csv (websphereLogParser.sh:674-691 —
@@ -1431,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_uri_detail": q_access_uri_detail,
         "access_domain_daily_usage": q_access_domain_daily_usage,
         "was_err_cmp_ranking": q_was_err_cmp_ranking,
+        "errlog_recycles": q_errlog_recycles,
     }
 
 
@@ -1642,6 +1655,9 @@ def oracle_sql() -> dict[str, str]:
     A = "WITH " + access_truth_cte() + "\n"
     E = "WITH " + ERRLOG_TRUTH_CTE + "\n"
     M = "WITH " + MPMSTATS_TRUTH_CTE + "\n"
+    from log_parser_ray.stages.errorlog import RECYCLE_TRUTH_CTE
+
+    R = "WITH " + RECYCLE_TRUTH_CTE + "\n"
     G = "WITH " + GC_TRUTH_CTE + "\n"
     GM = "WITH " + GC_MULTI_TRUTH_CTE + "\n"
     W = "WITH " + WAS_TRUTH_CTE + "\n"
@@ -2071,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "was_err_cmp_ranking": W
         + """SELECT component, evt_type, COUNT(*) AS cnt FROM was_truth
              WHERE evt_type IN ('E', 'F') GROUP BY component, evt_type""",
+        "errlog_recycles": R + "SELECT line_id, srv, dtm FROM recycle_truth",
         "was_tto_pairs": W
         + """SELECT line_id, srv, thread, tran_id, timeout_s, declare_line FROM (
                SELECT line_id, srv, thread, msg_id,

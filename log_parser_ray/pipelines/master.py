@@ -183,6 +183,21 @@ def run(
             all_alerts.append(_prefix_alerts(
                 mx, family="http", prop="httpMpmStBsyCountTh",
                 key_col="srv", value_col="bsy"))
+        # IHS recycle notices: one alert row per restart + the
+        # RecycleHistoryRpt date|srv daily rows (webErrorLogParser.sh:
+        # 45-49,248-253); bounded — restarts per day, not request traffic
+        from log_parser_ray.stages.errorlog import recycle_rows
+
+        rcy = recycle_rows(tagged).to_pandas()
+        if len(rcy):
+            rcy = rcy.sort_values("line_id").reset_index(drop=True)
+            all_alerts.append(pd.DataFrame({
+                "rule": "http.recycle",
+                "key": rcy["srv"].astype(str) + " recycled at: "
+                + rcy["dtm"].astype(str),
+                "value": 1.0, "threshold": 0.0,
+            }))
+            hist("error_recycles", rcy[["srv", "dtm"]])
         record("error", int(errs.count()), t0)
 
     def run_was() -> None:

@@ -49,6 +49,12 @@ RDY_RE = (
 BSY_LINE_RE = r"^(?P<srv>\S+) \[(?P<dtm>[^\]]+)\] \[notice\] bsy: (?P<body>.*)$"
 WAS_BSY_RE = r"(?P<v>\d+) in mod_was_ap22_http\.c"
 WBG_BSY_RE = r"(?P<v>\d+) in mod_webgate\.c"
+# IHS restart marker (webErrorLogParser.sh:248-253: alert line + the
+# RecycleHistoryRpt_all.csv date|srv daily row)
+RECYCLE_RE = (
+    r"^(?P<srv>\S+) \[(?P<dtm>[^\]]+)\] \[notice\] IBM_HTTP_Server\S* "
+    r".*configured -- resuming normal operations$"
+)
 
 
 def _compose(batch: pa.Table) -> pa.Table:
@@ -110,7 +116,19 @@ def _compose(batch: pa.Table) -> pa.Table:
     bsy = pa.table(
         {"line_id": pa.array(bi * 2 + 1, pa.int64()), "text": bsy_line}
     )
-    return pa.concat_tables([main, bsy])
+
+    # occasional IHS restart notices (the err branch leaves eid*2+1 free)
+    has_rcy = is_err & (eid % 40 == 0)
+    ri = eid[has_rcy]
+    rcy_line = j(
+        s(srv[has_rcy]), " [", s(dtm[has_rcy]),
+        "] [notice] IBM_HTTP_Server/8.5.5.0 (Unix) configured -- "
+        "resuming normal operations",
+    )
+    rcy = pa.table(
+        {"line_id": pa.array(ri * 2 + 1, pa.int64()), "text": rcy_line}
+    )
+    return pa.concat_tables([main, bsy, rcy])
 
 
 def synth_error_lines(sf_dir: str) -> "ray.data.Dataset":
@@ -263,9 +281,31 @@ ERRFAM_SCHEMA = pa.schema(
 )
 
 
+def _rcy_extract(t: pa.Table) -> pa.Table:
+    m = pc.extract_regex(t["text"], RECYCLE_RE)
+    sub = t.filter(pc.is_valid(m))
+    ms = pc.extract_regex(sub["text"], RECYCLE_RE)
+    return pa.table({
+        "line_id": sub["line_id"],
+        "srv": pc.struct_field(ms, "srv"),
+        "dtm": pc.struct_field(ms, "dtm"),
+    })
+
+
+def recycle_rows(tagged: "ray.data.Dataset") -> "ray.data.Dataset":
+    """IHS restart events out of the tagged union — feeds the reference's
+    per-recycle alert line and the RecycleHistoryRpt_all.csv daily row
+    (webErrorLogParser.sh:45-49,248-253)."""
+    return tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "rcy"))
+        .select(["line_id", "srv", "dtm"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def parse_error_families(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """ONE pass over the raw error_log lines: classify/extract every line as
-    err / rdy / bsy and emit a tagged union of the three parsed schemas.
+    err / rdy / bsy / rcy and emit a tagged union of the parsed schemas.
 
     This is the fused stage master's error family materializes INSTEAD of
     the raw line stream (the reference makes one awk pass over the file too,
@@ -276,7 +316,8 @@ def parse_error_families(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     def fn(t: pa.Table) -> pa.Table:
         parts = []
         for kind, sub in (("err", _err_extract(t)), ("rdy", _rdy_extract(t)),
-                          ("bsy", _bsy_extract(t))):
+                          ("bsy", _bsy_extract(t)),
+                          ("rcy", _rcy_extract(t))):
             n = sub.num_rows
             cols = {}
             for f in ERRFAM_SCHEMA:
@@ -346,5 +387,15 @@ errlog_truth AS (
     'E' || CAST(event_id % 50 AS VARCHAR) || ': lookup failed' AS err,
     'http://site/p' || CAST(event_id % 20 AS VARCHAR) AS referrer
   FROM events WHERE event_id % 2 = 0
+)
+""".strip()
+
+RECYCLE_TRUTH_CTE = """
+recycle_truth AS (
+  SELECT
+    event_id * 2 + 1 AS line_id,
+    'ihs' || CAST(user_id % 4 AS VARCHAR) AS srv,
+    strftime(ts, '%a %b %d %H:%M:%S %Y') AS dtm
+  FROM events WHERE event_id % 40 = 0
 )
 """.strip()

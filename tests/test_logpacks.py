@@ -474,6 +474,16 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     assert res["error"] == 500  # error lines are the eid%2==0 half
     # error-family report edges: referrer ranking + per-server max-bsy row
     assert os.path.isfile(os.path.join(out, "error", "errCntByRef.csv"))
+    # IHS recycle notices surface as unconditional alert rows
+    # (webErrorLogParser.sh:248-253); synth plants one per eid%40==0
+    al = pd.read_csv(os.path.join(out, "alerts.csv"))
+    n_rcy = int((al["rule"] == "http.recycle").sum())
+    exp_rcy = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' WHERE event_id % 40 = 0"
+    ).fetchone()[0]
+    assert n_rcy == exp_rcy
+    assert al.loc[al["rule"] == "http.recycle", "key"].str.contains(
+        " recycled at: ").all()
     mpmcsv = os.path.join(out, "error", "WebErrorLogMpmStatsRpt_all.csv")
     assert len(open(mpmcsv).readlines()) == 5  # header + one row per server
     assert rd.read_parquet(os.path.join(out, "gc", "invocations")).count() == 1000
