@@ -165,6 +165,37 @@ def run(
                 fh.write(render_error_summary(et, record_date=record_date or ""))
             all_alerts.append(et["alerts"])
         if mpm.count() > 0:
+            # WebErrorLogMpmStatsRpt_all.csv is the FULL record stream in
+            # the reference (webErrorLogParser.sh:40,353-360 — every
+            # mpmstats row in the ws/date/time/hr/... layout); only the
+            # per-server daily max goes to history (:361-379)
+            from log_parser_ray.pipelines.reports import _stream_csv
+
+            def _mpm_fmt(r) -> str:
+                p = str(r.dtm).split()  # "Mon Jan 01 00:09:58 2024"
+                date = f"{p[1]} {p[2]} {p[4]}" if len(p) == 5 else str(r.dtm)
+                tm = p[3] if len(p) == 5 else ""
+                return "\t".join(
+                    [f"{r.srv:<15}", f"{date:<11}", f"{tm:<8}",
+                     f"{tm[:2]:>4}"]
+                    + [f"{int(v):4d}" for v in
+                       (r.rdy, r.bsy, r.rd, r.wr, r.ka, r.log, r.dns,
+                        r.cls, r.was_bsy, r.wbg_bsy)]
+                )
+
+            _stream_csv(
+                mpm.select_columns(
+                    ["srv", "line_id", "dtm", "rdy", "bsy", "rd", "wr",
+                     "ka", "log", "dns", "cls", "was_bsy", "wbg_bsy"]),
+                os.path.join(out_dir, "error",
+                             "WebErrorLogMpmStatsRpt_all.csv"),
+                "\t".join([f"{'ws':<15}", f"{'date':<11}", f"{'time':<8}",
+                           f"{'hr':>4}"]
+                          + [f"{c:>4}" for c in
+                             ("rdy", "bsy", "rd", "wr", "ka", "log", "dns",
+                              "cls", "mwas", "mwgt")]),
+                _mpm_fmt, ["srv", "line_id"], [False, False],
+            )
             mx = argmax_by(
                 mpm.select_columns(
                     ["srv", "line_id", "dtm", "rdy", "bsy", "rd", "wr", "ka",
@@ -172,10 +203,6 @@ def run(
                 ),
                 ["srv"], ["bsy", "line_id"], [True, False],
             ).to_pandas().sort_values("srv")
-            mx.to_csv(
-                os.path.join(out_dir, "error", "WebErrorLogMpmStatsRpt_all.csv"),
-                index=False,
-            )
             # per-server daily max-bsy record → date-partitioned history
             # (the reference's mpmstats history append,
             # webErrorLogParser.sh:361-379)
@@ -319,6 +346,17 @@ def run(
     )
     alerts = alerts.sort_values(["rule", "key"]).reset_index(drop=True)
     alerts.to_csv(os.path.join(out_dir, "alerts.csv"), index=False)
+    # the reference's human-readable 00_Alert.txt next to the csv
+    # (webErrorLogParser.sh:38, javaGCStatsParser.sh:47,
+    # websphereLogParser.sh alrtF): one prose line per alert row
+    with open(os.path.join(out_dir, "00_Alert.txt"), "w") as fh:
+        for r in alerts.itertuples(index=False):
+            if r.threshold > 0:
+                fh.write(f"[{r.rule}] {r.key}: value {r.value} exceeds "
+                         f"threshold of {r.threshold}. "
+                         "Investigate further ...\n")
+            else:
+                fh.write(f"[{r.rule}] {r.key}\n")
     hist("alerts", alerts)
 
     return results

@@ -415,7 +415,7 @@ def _stream_detail(ds: "ray.data.Dataset", path: str, header: str,
     """Stream a (possibly unbounded) detail Dataset to a report file in the
     reference's sorted printf layout — sorted distributedly, rendered batch
     by batch, never a full driver collect."""
-    srt = ds.sort(sort_by, descending=descending)
+    srt = ds.sort(sort_by, descending=descending) if ds.count() else ds
     with open(path, "w") as fh:
         fh.write(header + "\n")
         for b in srt.iter_batches(batch_format="pandas"):
@@ -706,7 +706,19 @@ def run(
             ).select(["response", "uri_path"]),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        counts = grouped_count(filt, ["response", "uri_path"], alias="cnt")
+        counts = grouped_count(
+            filt, ["response", "uri_path"], alias="cnt").materialize()
+        # the FULL 400+ list CSV the 02 render's "for detail review file"
+        # line points at (webAccessLogParser.sh:48,1357-1382,1537) —
+        # unbounded URI cardinality, so a streaming sorted write
+        _stream_detail(
+            counts,
+            os.path.join(out_dir, "WebAccessLogSummaryByRC400PlusURLRpt.csv"),
+            f"{'rsp':>3}\t{'cnt':>10}\t{'url':<95}",
+            lambda r: f"{r.response:>3}\t{int(r.cnt):10d}\t"
+                      f"{str(r.uri_path):<95}",
+            ["cnt", "uri_path", "response"], [True, False, False],
+        )
         return top_k(counts, by=["cnt", "uri_path", "response"],
                      descending=[True, False, False], k=10).to_pandas()
 

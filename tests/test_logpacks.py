@@ -421,6 +421,11 @@ def test_weblog_pipeline_end_to_end(ray_session, sf_dir, tmp_path):
     assert uidf and os.path.basename(uidf) == "WebAccessLogSummaryByUIDRpt.csv"
     assert urif and os.path.basename(urif) == "WebAccessLogSummaryByTransactionRpt.csv"
     assert os.path.isfile(os.path.join(out, "WebAccessLogSummaryByDomainRpt.csv"))
+    # full 400+ URL list: count column reconciles with the response-code table
+    rc400 = [ln.split("\t") for ln in open(os.path.join(
+        out, "WebAccessLogSummaryByRC400PlusURLRpt.csv")).read().splitlines()[1:]]
+    assert sum(int(r[1]) for r in rc400) == int(
+        rc.loc[rc["response"] >= 400, "cnt"].sum())
     uri_rows = [ln.split("\t") for ln in open(urif).read().splitlines()[1:]]
     assert sum(int(r[5]) for r in uri_rows) == res["total"]
     arts = [float(r[8]) for r in uri_rows]
@@ -484,8 +489,14 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     assert n_rcy == exp_rcy
     assert al.loc[al["rule"] == "http.recycle", "key"].str.contains(
         " recycled at: ").all()
+    # the _all CSV carries EVERY mpmstats record (webErrorLogParser.sh:40,
+    # 353-360), not just the per-server max — header + one row per odd eid
     mpmcsv = os.path.join(out, "error", "WebErrorLogMpmStatsRpt_all.csv")
-    assert len(open(mpmcsv).readlines()) == 5  # header + one row per server
+    n_mpm = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' WHERE event_id % 2 = 1"
+    ).fetchone()[0]
+    assert len(open(mpmcsv).readlines()) == 1 + n_mpm
+    assert os.path.isfile(os.path.join(out, "00_Alert.txt"))
     assert rd.read_parquet(os.path.join(out, "gc", "invocations")).count() == 1000
     # 01/04 summary reports rendered from the same run (reports.py)
     assert os.path.isfile(os.path.join(out, "was", "01_WASLogSummaryRpt.txt"))
