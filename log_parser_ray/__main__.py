@@ -68,7 +68,12 @@ def main(argv=None) -> int:
 
     daily = args.rpttype == "daily"
     if daily and not args.record_date:
-        ap.error("--rpttype daily requires --record-date")
+        # the reference's default: a daily run without -d processes
+        # yesterday's entries (usage.sh:31-33 "defaults to 'date - 1 day'")
+        import datetime as _dt
+
+        args.record_date = (
+            _dt.date.today() - _dt.timedelta(days=1)).isoformat()
     if args.procoption == "full" and not args.record_date:
         ap.error("--procoption full requires --record-date")
     if args.partitioned and (args.record_date or daily):

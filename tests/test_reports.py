@@ -263,6 +263,18 @@ def test_cli_record_date_daily(ray_session, sf_dir, tmp_path, capsys):
     hist = read_history(hroot, "sink_counts")
     assert set(hist["date"]) == {"2024-01-05"}
     assert len(hist) == len(set(hist["sink"]))
+    # daily without -d defaults to yesterday (usage.sh:31-33) — the synth
+    # corpus has no 2026 rows, so the run succeeds with an empty slice
+    import datetime as _dt
+
+    assert main(["--events-sf", sf_dir, "--out", str(tmp_path / "dflt"),
+                 "--rpttype", "daily"]) == 0
+    res_d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res_d["rows"] == 0
+    hist_d = read_history(str(tmp_path / "dflt") + "/history", "sink_counts")
+    exp_date = (_dt.date.today() - _dt.timedelta(days=1)).isoformat()
+    assert len(hist_d) == 0 or (
+        set(hist_d["date"].astype(str)) <= {exp_date})
 
 
 def test_cli_procoption_full(ray_session, sf_dir, tmp_path, capsys):
