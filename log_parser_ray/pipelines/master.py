@@ -172,8 +172,10 @@ def run(
             from log_parser_ray.pipelines.reports import _stream_csv
 
             def _mpm_fmt(r) -> str:
-                p = str(r.dtm).split()  # "Mon Jan 01 00:09:58 2024"
-                date = f"{p[1]} {p[2]} {p[4]}" if len(p) == 5 else str(r.dtm)
+                # "Mon Jan 01 00:09:58 2024" → "Jan-01-2024" like the
+                # golden sample_reports/WebErrorLogMpmStatsRpt_all.csv
+                p = str(r.dtm).split()
+                date = f"{p[1]}-{p[2]}-{p[4]}" if len(p) == 5 else str(r.dtm)
                 tm = p[3] if len(p) == 5 else ""
                 return "\t".join(
                     [f"{r.srv:<15}", f"{date:<11}", f"{tm:<8}",

@@ -495,7 +495,14 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     n_mpm = duckdb.connect().execute(
         f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' WHERE event_id % 2 = 1"
     ).fetchone()[0]
-    assert len(open(mpmcsv).readlines()) == 1 + n_mpm
+    mpm_lines = open(mpmcsv).read().splitlines()
+    assert len(mpm_lines) == 1 + n_mpm
+    # header byte-identical to the reference's committed golden
+    golden_hdr = open("/root/reference/sample_reports/"
+                      "WebErrorLogMpmStatsRpt_all.csv").readline().rstrip("\n")
+    assert mpm_lines[0] == golden_hdr
+    # date column in the golden's Mon-DD-YYYY form
+    assert mpm_lines[1].split("\t")[1].count("-") == 2
     assert os.path.isfile(os.path.join(out, "00_Alert.txt"))
     assert rd.read_parquet(os.path.join(out, "gc", "invocations")).count() == 1000
     # 01/04 summary reports rendered from the same run (reports.py)
