@@ -1097,14 +1097,25 @@ def _render_report(t: dict) -> str:
             f"{str(r['uid']):<18}\t{r['uri_path']}"
         )
 
+    # the golden's "for detail review file" pointer lines name the full
+    # detail CSVs this run wrote next to the report (sample 02:138,156,171)
+    rpt_dir = os.path.dirname(t["uid_detail_path"] or "") \
+        if t.get("uid_detail_path") else ""
+
+    def _rf(name: str) -> str:
+        return ("===== for detail review file: "
+                f"{os.path.join(rpt_dir, name) if rpt_dir else name} =====")
+
     out += ["", bar, "===== Top 10 (by count) URL ending with HTTP response "
-                     "code 400 and higher =====", bar, ""]
+                     "code 400 and higher =====",
+            _rf("WebAccessLogSummaryByRC400PlusURLRpt.csv"), bar, ""]
     out.append("rsp\t       cnt\turl")
     for _, r in t["top400"].iterrows():
         out.append(f"{int(r['response'])}\t{int(r['cnt']):>10}\t{r['uri_path']}")
 
     out += ["", bar, "===== Summary by Domain - Top 5 (slowest) by average "
                      "response time =====",
+            _rf("WebAccessLogSummaryByDomainRpt.csv"),
             "Note: Domain response range and average response time excludes "
             "static contents from calculation:", bar, ""]
     out.append("name                \t    art\t     xrc")
@@ -1112,7 +1123,7 @@ def _render_report(t: dict) -> str:
         out.append(f"{str(r['domain']):<20}\t{r['art']:>7.3f}\t{int(r['xrc']):>8}")
 
     out += ["", bar, "===== Top 5 (slowest) UIDs by Average Response Time "
-                     "=====", bar, ""]
+                     "=====", _rf("WebAccessLogSummaryByUIDRpt.csv"), bar, ""]
     out.append("uid                           " + "\t".join(
         [f"{l:>8}" for l in RANGE_LABELS] + ["     xrc", "    art"]))
     for _, r in t["uid_top5"].iterrows():
