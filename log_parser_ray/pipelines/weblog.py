@@ -1117,7 +1117,9 @@ def _render_report(t: dict) -> str:
                      "response time =====",
             _rf("WebAccessLogSummaryByDomainRpt.csv"),
             "Note: Domain response range and average response time excludes "
-            "static contents from calculation:", bar, ""]
+            "the following static contents from calculation:",
+            f"excludes with these extensions: {'|'.join(STATIC_EXTS)}",
+            bar, ""]
     out.append("name                \t    art\t     xrc")
     for _, r in t["domain_top5"].iterrows():
         out.append(f"{str(r['domain']):<20}\t{r['art']:>7.3f}\t{int(r['xrc']):>8}")
