@@ -1039,8 +1039,65 @@ def _render_report(t: dict) -> str:
     (sample_reports/02_WebAccessLogSummaryRpt.txt, all sections)."""
     bar = "=" * 53
     hourly, rc, slow = t["hourly"], t["response_codes"], t["top_slow"]
-    out = [bar, "===== Http Access log analysis report =====", bar, "",
-           bar, "===== Hourly Statistics =====", bar, ""]
+    # header + the golden's abbreviation legend (sample 02:1-45)
+    ext_note = "|".join(STATIC_EXTS)
+    legend = [
+        ("hr", "Hour"), ("date", "Date"), ("time", "Time"),
+        ("uid", "User ID"), ("js", "jSession"),
+        ("was", "WebSphere Application Server or App Server"),
+        ("ws", "Web Server like Apache or IBM HTTP Server (IHS)"),
+        ("jvm", "Java Virtual Machine (JVM)"),
+        ("req", "HTTP Request like GET, POST etc."),
+        ("rsp", "HTTP Response code like 200, 400 etc."),
+        ("sz", "Size - HTTP response size"),
+        ("uuc", "Unique User Count"),
+        ("uupc", "Unique User Count in Percentage"),
+        ("usc", "Unique jSession Count"),
+        ("uspc", "Unique jSession Count in Percentage"),
+        ("art", "Average Response Time in Second"),
+        ("bart", "Baseline Average Response Time in Second"),
+        ("rt", "(HTTP) Response Time in Second"),
+        ("mnrt", "Minimum Response Time in Second for the given access "
+                 "request or transaction"),
+        ("mxrt", "Maximum Response Time in Second for the given access "
+                 "request or Transaction"),
+        ("rng", "Response Range (second). What range like 1 second, "
+                "5 second etc. range the response falls."),
+        ("<=1", "Less than or eaual to One Second response range in "
+                "percentage"),
+        ("<=5", "Greater than One Second and less than or equal to Five "
+                "Seconds response range in percentage"),
+        ("<=10", "Greater than Five Seconds and less than or equal to Ten "
+                 "Seconds response range in percentage"),
+        ("<=20", "Greater than Ten seconds and less than or equal to "
+                 "Twenty Seconds response range in percentage"),
+        (">20", "More than Twenty Seconds in Percentage"),
+        ("xrc", "Total Record (Request,Response or Transaction) Count - "
+                f"that excludes static contents like {ext_note}."),
+        ("xrpc", "Total Record (Request,Response or Transaction) Count in "
+                 f"Percentage - that excludes static contents like "
+                 f"{ext_note}."),
+        ("irc", "Total Record (Request,Response or Transaction) Count - "
+                "that includes static contents."),
+        ("irpc", "Total Record (Request,Response or Transaction) Count in "
+                 "Percentage - that includes static contents."),
+        ("cnt", "(Any) Count like jSession count, User count etc."),
+        ("pc", "(Any) Count or measure represented in Percentage"),
+        ("srv", "Server - like Web Server(IHS), App Server etc."),
+        ("url", "URL"), ("bwsr", "Browser"),
+    ]
+    out = [bar, "===== Http Access log analysis report =====",
+           "===== based on access logs dated: "
+           f"{(t.get('daily') or {}).get('date', 'NA')}  =====",
+           bar, "",
+           "===== Summary table contains short heading title. See below "
+           "for their description =====",
+           "Note: Hourly statistics excludes the following static contents "
+           "from calculation:",
+           f"excludes with these extensions: {ext_note}"]
+    out += [f"{k:<5}\t: {v}" for k, v in legend]
+    out += [bar, "",
+            bar, "===== Hourly Statistics =====", bar, ""]
     hdr = ["hr", "uuc", "usc", "art"] + RANGE_LABELS + ["xrc", "irc"]
     out.append("\t".join(f"{h:>7}" for h in hdr))
     for _, r in hourly.iterrows():
