@@ -240,7 +240,8 @@ def run(
         wt = was_summary_tables(parsed, out_dir=os.path.join(out_dir, "was"))
         with open(os.path.join(out_dir, "was",
                                "01_WASLogSummaryRpt.txt"), "w") as fh:
-            fh.write(render_was_summary(wt, record_date=record_date or ""))
+            fh.write(render_was_summary(wt, record_date=record_date or "",
+                                        out_dir=os.path.join(out_dir, "was")))
         all_alerts.append(wt["alerts"])
         # daily history: hung-thread per-server summary, tto daily total,
         # JVM recycles and last-OOM rows (websphereLogParser.sh:68-89

@@ -564,11 +564,55 @@ def was_summary_tables(parsed: "ray.data.Dataset",
     return tables
 
 
-def render_was_summary(t: dict, *, record_date: str = "") -> str:
+def _legend(entries: list[tuple[str, str]], width: int = 5) -> list[str]:
+    """The goldens' abbreviation glossary block (every sample report opens
+    with one — sample_reports/0{1,2,3,4}_*.txt)."""
+    lines = ["===== Summary table contains short heading title. See below "
+             "for their description ====="]
+    lines += [f"{k:<{width}}\t: {v}" for k, v in entries]
+    lines += [BAR, ""]
+    return lines
+
+
+_WAS_LEGEND = [
+    ("hr", "Hour"), ("date", "Date"), ("time", "Time"), ("tz", "Time Zone"),
+    ("woct", "Web or ORB Container Thread"),
+    ("awoct", "Affected Web or ORB Container Thread(s), may be because of "
+              "CPU Starvation scheduling dealy"),
+    ("thid", "Thread ID"), ("uid", "User ID"), ("js", "jSession"),
+    ("rt", "Response Time in Second"),
+    ("dly", "Delay in second, may be because of CPU Starvation or other "
+            "causes."),
+    ("tdly", "Total Delay in second, may be because of CPU Starvation or "
+             "other causes."),
+    ("ttov", "Transaction TimeOut Value."),
+    ("htm", "Hung Thread Hung time in second"),
+    ("chtc", "Current Hung Thread Count"),
+    ("nhtc", "Number of NEW Hung Thread Count"),
+    ("mhtc", "Maximum number of Hung Thread Count"),
+    ("rhtc", "Remaining number of Hung Thread Count"),
+    ("cnt", "(Any) Count like jSession count, User count etc."),
+    ("trn", "Transaction"), ("tid", "Transaction ID"),
+    ("sts", "Status - Transaction or any status in context"),
+    ("pc", "(Any) Count or measure represented in Percentage"),
+    ("jvm", "Java Virtual Machine, may be interchangeably used with was or "
+            "srv in reports."),
+    ("was", "WebSphere Application Server"),
+    ("srv", "server - like web server(IHS), App Server etc."),
+    ("cmp", "Component"), ("fnc", "function"), ("exp", "Exception"),
+    ("evt", "Event Type like WARNING, ERROR, FATAL etc."),
+    ("msg", "Message"), ("lmdl", "Log module"),
+]
+
+
+def render_was_summary(t: dict, *, record_date: str = "",
+                       out_dir: str = "") -> str:
     """The reference's 01_WASLogSummaryRpt.txt layout over the collected
     tables (sample_reports/01_*.txt; printf widths re-derived)."""
     out = [BAR, "===== WAS log analysis report =====",
-           f"===== based on SystemOut logs dated: {record_date}  =====", BAR, ""]
+           f"===== based on SystemOut logs dated: {record_date}  =====",
+           BAR, ""]
+    out += _legend(_WAS_LEGEND)
 
     if len(t["hung_detail"]):
         out += [BAR, "===== Hung Thread Details =====", BAR, ""]
@@ -658,9 +702,17 @@ def render_was_summary(t: dict, *, record_date: str = "") -> str:
     out.append("")
 
     def dim_section(title: str, df: pd.DataFrame, dim: str,
-                    order=("cmp_first",)):
+                    order=("cmp_first",), review: tuple[str, str] | None = None):
         out.append(BAR)
         out.append(f"===== {title} =====")
+        if review is not None:
+            # the golden's pointer at the standalone full-ranking CSV
+            # (websphereLogParser.sh:679,703,727,...)
+            import os as _os
+
+            fname, what = review
+            path = _os.path.join(out_dir, fname) if out_dir else fname
+            out.append(f"===== Review file: {path} for {what} =====")
         out.append(BAR)
         out.append("")
         if order == "cnt_first":
@@ -674,21 +726,37 @@ def render_was_summary(t: dict, *, record_date: str = "") -> str:
         out.append("")
 
     dim_section("Summary of (Top 10 by total count) ERROR and FATAL events by component",
-                t["top_err_cmp"], "component")
+                t["top_err_cmp"], "component",
+                review=("WASLogSummaryByErrCmpRpt.csv",
+                        "all Errors and Fatal events"))
     dim_section("Summary of (Top 10 by total count) WARN events by component",
-                t["top_warn_cmp"], "component")
+                t["top_warn_cmp"], "component",
+                review=("WASLogSummaryByWarnCmpRpt.csv",
+                        "all Errors and Fatal events"))
     dim_section("Summary of Top 10 by total count) Error and Fatal events by Error class",
-                t["top_err_cls"], "cls")
+                t["top_err_cls"], "cls",
+                review=("WASLogSummaryByErrClassRpt.csv",
+                        "all Error and Fatal events by Error class"))
     dim_section("Summary of Top 10 (by total count) WARN events by WARN class",
-                t["top_warn_cls"], "cls")
+                t["top_warn_cls"], "cls",
+                review=("WASLogSummaryByWarnClassRpt.csv",
+                        "all WARN events by WARN class"))
     dim_section("Summary of Top 10 (by total count) Error and Fatal events by Exception",
-                t["top_err_exp"], "exp")
+                t["top_err_exp"], "exp",
+                review=("WASLogSummaryByErrExpRpt.csv",
+                        "all Error and Fatal events by Exception"))
     dim_section("Summary of Top 10 (by total count) WARN events by Exception",
-                t["top_warn_exp"], "exp")
+                t["top_warn_exp"], "exp",
+                review=("WASLogSummaryByWarnExpRpt.csv",
+                        "all WARN events by Exception"))
     dim_section("Summary of Top 10 (by total count) ERROR and FATAL events by Message",
-                t["top_err_msg"], "msg", order="cnt_first")
+                t["top_err_msg"], "msg", order="cnt_first",
+                review=("WASLogSummaryByErrMsgRpt.csv",
+                        "all ERROR and FATAL events by Message"))
     dim_section("Summary of Top 10 (by total count) WARN events by Message",
-                t["top_warn_msg"], "msg", order="cnt_first")
+                t["top_warn_msg"], "msg", order="cnt_first",
+                review=("WASLogSummaryByWarnMsgRpt.csv",
+                        "all WARN events by Message"))
     return "\n".join(out)
 
 
@@ -835,6 +903,36 @@ def render_gc_summary(t: dict, *, record_date: str = "") -> str:
     out = [BAR, "===== Verbose GC analysis report =====",
            f"===== based on native_stdout.log dated: {record_date}  =====",
            BAR, ""]
+    out += _legend([
+        ("date", "Date"), ("time", "Time"), ("tz", "Time Zone"),
+        ("jvm", "Java Virtual Machine, may be interchangeably used with "
+                "was or srv in reports."),
+        ("artgc", "Average Real Time for Minor GC"),
+        ("artfgc", "Average Real Time for Full or Major GC"),
+        ("trtgc", "Total Real Time for Minor GC"),
+        ("trtfgc", "Total Real Time for Full or Major GC"),
+        ("rt", "Real Time for GC or Full or Major GC"),
+        ("trt", "Total Real Time - includes both Minor GC and Major GC"),
+        ("gccnt", "Total Minor GC count for a given period (date)"),
+        ("gccntsr", "Total Minor GC count since restart of JVM"),
+        ("fgccnt", "Total Full or Major GC count for a given period (date)"),
+        ("fgccntsr", "Total Full or Major GC count since restart of JVM"),
+        ("tgccnt", "Total All (Minor GC plus Major GC) count for a given "
+                   "period (date)"),
+        ("tgccntsr", "Total All (Minor GC plus Major GC) count since "
+                     "restart of JVM"),
+        ("gctp", "Garbage Collection (GC) Type - (Minor)GC or FULLGC"),
+        ("ygub(K)", "Young Generation Used Before GC (K)"),
+        ("ygua(K)", "Young Generation Used After GC (K)"),
+        ("ygdf(K)", "Young Generation Difference Before and After GC"),
+        ("ygta(K)", "Young Generation Total Allocated  After GC"),
+        ("ygua%", "Young Generation Used Percentage After GC"),
+        ("ogub(K)", "Old Generation Used Before GC (K)"),
+        ("ogua(K)", "Old Generation Used After GC (K)"),
+        ("ogdf(K)", "Old Generation Difference Before and After GC"),
+        ("ogta(K)", "Old Generation Total Allocated  After GC"),
+        ("ogua%", "Old Generation Used Percentage After GC"),
+    ], width=8)
     out.append(
         "jvm            \tdate      \t  artgc\t artfgc\t  trtgc\t    trtfgc\t       trt\tgccnt\tfgccnt\ttgccnt"
     )
@@ -918,6 +1016,29 @@ def render_error_summary(t: dict, *, record_date: str = "") -> str:
     """03_WebErrorLogSummaryRpt.txt layout (golden sample_reports/03_*.txt)."""
     out = [BAR, "===== Http Error log analysis report =====",
            f"===== based on error logs dated: {record_date}  =====", BAR, ""]
+    out += _legend([
+        ("hr", "Hour"), ("date", "Date"), ("time", "Time"),
+        ("rdy", "Ready thread(s)"), ("bsy", "Busy threads(s)"),
+        ("rd", "Read - number of threads currently reading request from "
+               "user"),
+        ("wr", "Write - number of threads currently writing or "
+               "communicating to App Server or back-end"),
+        ("ka", "Keep Alive - number of threads holding keep alive session"),
+        ("log", "Log - number of threads busy in logging"),
+        ("dns", "DNS - number of threads busy in DNS related activities"),
+        ("cls", "CLS - number of threads busy in house cleaning related "
+                "activities"),
+        ("mwas", "Number of threads busy with mod_was_ap22_http.c"),
+        ("mwgt", "Number of threads busy with apache2entry_web_gate.cpp"),
+        ("was", "WebSphere Application Server or App Server"),
+        ("ws", "Web Server like Apache or IBM HTTP Server (IHS)"),
+        ("req", "HTTP Request like GET, POST etc."),
+        ("rsp", "HTTP Response code like 200, 400 etc."),
+        ("err", "Error message"), ("dtl", "Detail - detail message"),
+        ("ref", "Http referrer"),
+        ("cnt", "(Any) Count like jSession count, User count etc."),
+        ("url", "URL"),
+    ])
     out += [BAR, "===== Http Error Count by Web Server =====", BAR, ""]
     out.append("ws            cnt")
     for _, r in t["by_ws"].iterrows():
