@@ -520,7 +520,10 @@ def test_master_orchestrator(ray_session, sf_dir, tmp_path):
     assert cnts == sorted(cnts, reverse=True) and len(cnts) >= 1
     filt_f = os.path.join(out, "was", "WASLogFilteredErrRpt.csv")
     assert os.path.isfile(filt_f)
-    assert os.path.isfile(os.path.join(out, "gc", "04_GCSummaryRpt.txt"))
+    gc_txt = open(os.path.join(out, "gc", "04_GCSummaryRpt.txt")).read()
+    # multi-line heap blocks present → the golden's last-GC-per-JVM section
+    assert ("========= Last Verbose GC  record for each JVM parsed and "
+            "extracted from native_stdout.log =========") in gc_txt
     assert os.path.isfile(os.path.join(out, "alerts.csv"))
     # per-family lineage lines
     lines = []
