@@ -149,9 +149,16 @@ def run(
         # IHS-specific; a pure-mpmstats log has no error lines) — skip the
         # report, don't crash on a column-less empty frame.
         if errs.count() > 0:
-            referrer_error_ranking(errs).to_pandas().to_csv(
-                os.path.join(out_dir, "error", "errCntByRef.csv"), index=False
-            )
+            # K8 is an UNLIMITED ranking (distinct referrers grow with the
+            # corpus) — stream the sorted Dataset batch by batch instead of
+            # collecting it to driver pandas
+            ref_csv = os.path.join(out_dir, "error", "errCntByRef.csv")
+            os.makedirs(os.path.dirname(ref_csv), exist_ok=True)
+            with open(ref_csv, "w") as fh:
+                fh.write("referrer,err_det,n\n")
+                for b in referrer_error_ranking(errs).iter_batches(
+                        batch_format="pandas"):
+                    b.to_csv(fh, index=False, header=False)
             # 03_WebErrorLogSummaryRpt: count-by-server / by-detail /
             # by-referrer sections (webErrorLogParser.sh:321-347 render)
             from log_parser_ray.pipelines.reports import (
