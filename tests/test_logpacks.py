@@ -856,6 +856,35 @@ def test_master_error_family_without_mpmstats(ray_session, tmp_path):
     )
 
 
+def test_weblog_all_static_content(ray_session, sf_dir, tmp_path):
+    """Edge: every parsed row is a static-extension request → app-only
+    tables (per-UID detail, domain top-5, extension stats) are empty but
+    the run, renders and detail CSVs must all still succeed."""
+    import re as _re
+
+    from log_parser_ray.pipelines import weblog
+    from log_parser_ray.sources.accesssynth import synth_access_lines
+
+    lines = synth_access_lines(sf_dir).to_pandas().sort_values("line_id")
+    static = [ln for ln in lines["text"]
+              if _re.search(r"\.(ico|css|gif|png|js|jpg) ", ln)]
+    assert static, "synth corpus lost its static-content rows"
+    (tmp_path / "access_log.1103").write_text("\n".join(static) + "\n")
+
+    out = str(tmp_path / "rpt")
+    res = weblog.run(str(tmp_path), out, file_pattern="access_log")
+    assert res["total"] > 0
+    assert int(res["hourly"]["xrc"].sum()) == 0
+    # per-UID detail: header only (xrc == 0 rows are filtered)
+    uid_lines = open(res["uid_detail_path"]).read().splitlines()
+    assert len(uid_lines) == 1
+    # per-URI detail covers ALL parsed rows regardless of exclusion
+    uri_rows = open(res["uri_detail_path"]).read().splitlines()[1:]
+    assert sum(int(r.split("\t")[5]) for r in uri_rows) == res["total"]
+    assert len(res["domain_top5"]) == 0
+    assert "===== Hourly Statistics =====" in open(res["report_path"]).read()
+
+
 def test_weblog_no_parseable_lines(ray_session, tmp_path):
     """A file with zero parseable access lines yields an empty-but-typed
     report set (no KeyError on column-less frames); the report file still
