@@ -47,6 +47,11 @@ def main(argv=None) -> int:
                          "history sinks, idempotently per --record-date")
     ap.add_argument("--history-root", default=None,
                     help="history sink root (default: <out>/history)")
+    ap.add_argument("--perf-baseline", default=None, metavar="CSV",
+                    help="--access-logs/--master-logs: perfBaseLine.csv "
+                         "(`Transaction|AverageResponseTimeInSec`, "
+                         "webAccessLogParser.sh:37,1003-1023) feeding the "
+                         "per-URI detail report's bart/diff columns")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
                     help="resumable per-input-range run with lineage manifest "
@@ -90,6 +95,7 @@ def main(argv=None) -> int:
             args.master_logs, args.out,
             record_date=args.record_date, rpt_type=args.rpttype,
             history_root=history_root if daily else None,
+            perf_baseline=args.perf_baseline,
         )
         print(json.dumps({"families": results}, sort_keys=True))
         return 0
@@ -101,6 +107,15 @@ def main(argv=None) -> int:
             args.access_logs, args.out, file_pattern=args.file_pattern,
             history_root=history_root if daily else None,
             run_date=args.record_date if daily else None,
+            # the reference's per-record date grep (webAccessLogParser.sh:
+            # 151-155) — --record-date must FILTER here, not just key the
+            # history; `-o full` is the cumulative dt <= recorddate variant
+            record_date=args.record_date,
+            cumulative=args.procoption == "full",
+            perf_baseline_us=(
+                weblog.load_perf_baseline(args.perf_baseline)
+                if args.perf_baseline else None
+            ),
         )
         print(json.dumps({
             "total": res["total"],

@@ -45,6 +45,7 @@ def run(
     record_date: str | None = None,
     rpt_type: str = "ondemand",
     history_root: str | None = None,
+    perf_baseline: str | None = None,
 ) -> dict:
     """Run every applicable parser family over ``log_dir``; returns
     {family: rows}.
@@ -52,8 +53,12 @@ def run(
     ``rpt_type="daily"`` (the reference's `-t daily`, usage.sh:121-135)
     additionally appends each family's daily summary rows to the
     date-partitioned history sinks under ``history_root`` (defaults to
-    ``out_dir``/history), keyed by ``record_date`` — idempotent per date,
-    so a rerun of the same day replaces rather than double-appends."""
+    ``out_dir``/history), keyed by ``record_date``. NOTE record_date KEYS
+    the history partitions here; it does not filter rows (the per-family
+    date predicate is the rotated-file pattern — pass weblog.run's
+    ``record_date`` directly for a per-record predicate).
+    ``perf_baseline`` is the access family's perfBaseLine.csv path
+    (webAccessLogParser.sh:37) feeding the per-URI bart/diff columns."""
     import pandas as pd
 
     from log_parser_ray.pipelines import weblog
@@ -121,6 +126,10 @@ def run(
             file_pattern=FAMILIES["access"],
             history_root=history_root if daily else None,
             run_date=record_date if daily else None,
+            perf_baseline_us=(
+                weblog.load_perf_baseline(perf_baseline)
+                if perf_baseline else None
+            ),
         )
         all_alerts.append(res["alerts"])
         record("access", int(res["hourly"]["irc"].sum()), t0)
@@ -233,7 +242,13 @@ def run(
                 + rcy["dtm"].astype(str),
                 "value": 1.0, "threshold": 0.0,
             }))
-            hist("error_recycles", rcy[["srv", "dtm"]])
+        # UNCONDITIONAL: a daily rerun of a date whose corrected logs show
+        # no recycles must still replace (clear) that date's partition —
+        # append_history's documented contract
+        hist("error_recycles",
+             rcy[["srv", "dtm"]] if len(rcy)
+             else pd.DataFrame({"srv": pd.Series(dtype=str),
+                                "dtm": pd.Series(dtype=str)}))
         record("error", int(errs.count()), t0)
 
     def run_was() -> None:

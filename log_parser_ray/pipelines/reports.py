@@ -221,10 +221,20 @@ def filtered_error_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
 def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
                 fmt_row, sort_by, descending) -> str:
     """Stream a Dataset to a CSV report file in the reference's sorted
-    printf layout — sorted distributedly, rendered batch by batch."""
+    printf layout — sorted distributedly, rendered batch by batch.
+
+    The input is materialized ONCE before the emptiness probe: on a lazy
+    input, ``count()`` would otherwise execute the whole upstream pipeline
+    just to return a number and the sort would then execute it AGAIN —
+    double-running every two-phase shuffle feeding a detail file. The
+    blocks land in the object store (spillable) and are freed when the
+    materialized handle goes out of scope; the empty guard itself stays
+    (Ray's sort rejects the schema-less blocks an all-empty map chain
+    produces)."""
     import os
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    ds = ds.materialize()
     srt = ds.sort(sort_by, descending=descending) if ds.count() else ds
     with open(path, "w") as fh:
         if header is not None:

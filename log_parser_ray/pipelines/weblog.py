@@ -52,6 +52,7 @@ from log_parser_ray.stages.aggregate import (
     _mb,
     _partial,
     COMBINE_ROWS,
+    conform_schema,
     grouped_count,
     grouped_stats,
     pivot_counts,
@@ -87,11 +88,21 @@ NARROW_COLS = ["sink", "hour", "uid", "jsession", "rt_us", "resp_range",
 _PARSE_CACHE: list = [None, None]
 
 
-def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Table:
+def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items,
+                         record_date=None, cumulative=False) -> pa.Table:
     """Fused stage: parse the raw lines, write the FULL routed rows to the
     per-sink hive layout, emit only the narrow report columns. A plain
     FUNCTION so Ray fuses it into the read tasks — full-width blocks never
-    transit the object store (see route.enrich_write_project)."""
+    transit the object store (see route.enrich_write_project).
+
+    ``record_date`` is the reference's per-record date predicate (the
+    ``grep -F "[$rec0DD/$recLM/$recYYYY"`` pre-filter,
+    webAccessLogParser.sh:151-155): keep only rows of that ISO date
+    (``cumulative=True`` = the `-o full` ``dt <= record_date`` variant).
+    Applied BEFORE the sink writes so filtered-out records never route.
+    Rows with an unparseable timestamp (null dt) are KEPT — same choice as
+    the --raw-logs epoch-0 note in __main__: dropping them would silently
+    empty the unparsed sink whenever a date predicate is active."""
     from log_parser_ray.stages.route import write_batch_sinks
 
     key = (out_dir, clone_items)
@@ -102,6 +113,13 @@ def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Ta
         )
         _PARSE_CACHE[0] = key
     full = _PARSE_CACHE[1](batch)
+    if record_date is not None:
+        # dt is %Y-%m-%d (accesslog.py), so the date compare is a plain
+        # string compare — vectorized, no timestamp round-trip
+        cmp = (pc.less_equal if cumulative else pc.equal)(
+            full["dt"], record_date
+        )
+        full = full.filter(pc.fill_null(cmp, True))
     write_batch_sinks(full, out_dir)
     # unknown-UA review side output (webAccessLogParser.sh:652: every
     # well-formed record whose agent missed the cascade) — written HERE so
@@ -121,6 +139,26 @@ def _parse_write_project(batch: pa.Table, *, out_dir: str, clone_items) -> pa.Ta
     # projection stays narrow (webAccessLogParser.sh:715-719)
     full = full.append_column("wu_evt", whereuid_marker(full))
     return full.select(NARROW_COLS)
+
+
+def load_perf_baseline(path: str) -> dict[str, float]:
+    """Parse the reference's perfBaseLine.csv (webAccessLogParser.sh:37,
+    214-223: `Transaction|AverageResponseTimeInSec` header then
+    ``uri|seconds`` rows) into the uri → MICROSECONDS map weblog.run's
+    ``perf_baseline_us`` expects. Tiny file, read once on the driver and
+    broadcast by closure into the per-URI detail derive."""
+    out: dict[str, float] = {}
+    with open(path) as fh:
+        for i, line in enumerate(fh):
+            line = line.strip()
+            if not line or (i == 0 and line.lower().startswith("transaction")):
+                continue
+            uri, _, secs = line.partition("|")
+            try:
+                out[uri] = float(secs) * 1e6
+            except ValueError:
+                continue  # malformed row — reference's split() skips it too
+    return out
 
 
 def _prep(t: pa.Table) -> pa.Table:
@@ -184,7 +222,7 @@ def _dim_distincts(ok: "ray.data.Dataset", dim: str,
                 pa.table(
                     {
                         dim: t[dim],
-                        "kind": pa.array([kind] * t.num_rows),
+                        "kind": pa.array([kind] * t.num_rows, pa.string()),
                         "val": pc.cast(t[col], pa.string()),
                     }
                 ).group_by([dim, "kind", "val"]).aggregate([])
@@ -331,7 +369,15 @@ def domain_hour_usage(ok: "ray.data.Dataset", val_col: str) -> "ray.data.Dataset
         ["domain", "h", "v"], [], keep=["domain", "h", "v"],
     )
     counts = grouped_count(dedup, ["domain", "h"], alias="n")
-    return pivot_counts(counts, "domain", "h", "n", HOUR_COLS)
+    # conform: when NO row carries a valid uid/jsession (e.g. a session-less
+    # app), every block upstream is empty and schema-less — without this the
+    # consumer's to_pandas() yields a COLUMN-LESS frame and sort_values
+    # ("domain") KeyErrors (domain_daily_usage guards the same case inline)
+    return conform_schema(
+        pivot_counts(counts, "domain", "h", "n", HOUR_COLS),
+        pa.schema([("domain", pa.string())]
+                  + [(h, pa.int64()) for h in HOUR_COLS]),
+    )
 
 
 def domain_daily_usage(ok: "ray.data.Dataset") -> pd.DataFrame:
@@ -349,7 +395,9 @@ def domain_daily_usage(ok: "ray.data.Dataset") -> pd.DataFrame:
         uid_part = pa.table(
             {
                 "domain": u["domain"],
-                "kind": pa.array(["uuc"] * u.num_rows),
+                # explicit type: ["uuc"] * 0 would infer NULL and poison the
+                # concat when a batch has no valid uids
+                "kind": pa.array(["uuc"] * u.num_rows, pa.string()),
                 "v": u["uid"],
             }
         )
@@ -361,7 +409,7 @@ def domain_daily_usage(ok: "ray.data.Dataset") -> pd.DataFrame:
         sess_part = pa.table(
             {
                 "domain": s["domain"],
-                "kind": pa.array(["usc"] * s.num_rows),
+                "kind": pa.array(["usc"] * s.num_rows, pa.string()),
                 "v": pc.binary_join_element_wise(
                     s["clone_id"], s["jsession"], ","
                 ),
@@ -391,6 +439,10 @@ def _write_domain_usage(hr_uid: pd.DataFrame, hr_sess: pd.DataFrame,
     (dmHrlyHdFmt/dmDlyHdFmt, webAccessLogParser.sh:1242-1267,1548-1557)."""
 
     def hourly(df: pd.DataFrame, path: str) -> None:
+        if "domain" not in df.columns:
+            # all-empty Dataset.to_pandas() drops the schema (Ray empty-block
+            # gotcha) — a session-less/uid-less day renders header-only
+            df = pd.DataFrame(columns=["domain"] + HOUR_COLS)
         with open(path, "w") as fh:
             fh.write("\t".join(["Domain".ljust(35)]
                                + [f"{h:>5}" for h in HOUR_COLS]) + "\n")
@@ -414,14 +466,12 @@ def _stream_detail(ds: "ray.data.Dataset", path: str, header: str,
                    fmt_row, sort_by, descending) -> str:
     """Stream a (possibly unbounded) detail Dataset to a report file in the
     reference's sorted printf layout — sorted distributedly, rendered batch
-    by batch, never a full driver collect."""
-    srt = ds.sort(sort_by, descending=descending) if ds.count() else ds
-    with open(path, "w") as fh:
-        fh.write(header + "\n")
-        for b in srt.iter_batches(batch_format="pandas"):
-            for row in b.itertuples(index=False):
-                fh.write(fmt_row(row) + "\n")
-    return path
+    by batch, never a full driver collect. Thin alias of reports._stream_csv
+    (ONE maintained implementation — it owns the materialize-once-then-sort
+    shape that keeps a lazy input from executing twice)."""
+    from log_parser_ray.pipelines.reports import _stream_csv
+
+    return _stream_csv(ds, path, header, fmt_row, sort_by, descending)
 
 
 def write_uid_detail(detail: "ray.data.Dataset", out_dir: str) -> str:
@@ -612,10 +662,18 @@ def run(
     clone_map=None,
     history_root: str | None = None,
     run_date: str | None = None,
+    record_date: str | None = None,
+    cumulative: bool = False,
     perf_baseline_us: dict[str, float] | None = None,
 ) -> dict:
     """Parse real access_log files → routed sinks + report tables + text
-    report. Returns the small report frames."""
+    report. Returns the small report frames.
+
+    ``record_date`` (ISO) activates the reference's per-record date
+    predicate inside the fused parse task (see _parse_write_project);
+    ``run_date`` only KEYS the daily history append. The CLI passes both
+    from --record-date; library callers can key history without filtering.
+    """
     from log_parser_ray.sources.rawlogs import read_raw_logs
 
     os.makedirs(out_dir, exist_ok=True)
@@ -629,6 +687,8 @@ def run(
             "clone_items": (
                 tuple(sorted(clone_map.items())) if clone_map is not None else None
             ),
+            "record_date": record_date,
+            "cumulative": cumulative,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -805,11 +865,16 @@ def run(
         f_wu = ex.submit(
             lambda: write_user_sessions(user_sessions_ds(ok), out_dir)
         )
-        # domain-usage tables (webAccessLogParser.sh:1242-1267)
-        f_dm_uid = ex.submit(lambda: domain_hour_usage(ok, "uid").to_pandas())
-        f_dm_sess = ex.submit(
-            lambda: domain_hour_usage(ok, "jsession").to_pandas()
-        )
+        # domain-usage tables (webAccessLogParser.sh:1242-1267); the reindex
+        # restores the typed columns an ALL-EMPTY Dataset's to_pandas drops
+        # (session-less / uid-less day)
+        def _usage_df(val_col: str) -> pd.DataFrame:
+            df = domain_hour_usage(ok, val_col).to_pandas()
+            return (df if "domain" in df.columns
+                    else pd.DataFrame(columns=["domain"] + HOUR_COLS))
+
+        f_dm_uid = ex.submit(lambda: _usage_df("uid"))
+        f_dm_sess = ex.submit(lambda: _usage_df("jsession"))
         f_dm_daily = ex.submit(lambda: domain_daily_usage(ok))
         # FULL per-UID / per-URI detail files — distributed derive +
         # streaming sorted write (webAccessLogParser.sh:1331-1436)
@@ -1275,8 +1340,22 @@ def _empty_result(out_dir: str, sink_hist: pd.DataFrame,
     if history_root is not None and run_date is not None:
         from log_parser_ray.state.history import append_history
 
+        # ALL EIGHT families the normal path appends — a daily rerun whose
+        # corrected logs parse nothing must replace (clear) every family's
+        # date partition, not just two of them
         append_history(history_root, "access_hourly", run_date, hourly)
+        append_history(history_root, "access_response_codes", run_date, rc)
+        append_history(history_root, "access_top_slow", run_date,
+                       tables["top_slow"])
         append_history(history_root, "access_alerts", run_date, tables["alerts"])
+        append_history(history_root, "access_daily",
+                       run_date, pd.DataFrame([daily]))
+        append_history(history_root, "access_request_types", run_date,
+                       tables["methods"])
+        append_history(history_root, "access_stats_by_ihs", run_date,
+                       tables["ws"])
+        append_history(history_root, "access_stats_by_was", run_date,
+                       tables["was"])
     rpt_path = os.path.join(out_dir, "02_WebAccessLogSummaryRpt.txt")
     with open(rpt_path, "w") as fh:
         fh.write(_render_report(tables))

@@ -49,24 +49,56 @@ def write_sinks(
 
 
 def batch_fingerprint(batch) -> str:
-    """Content-derived batch id (row count, boundary (conv_id, turn_idx)
-    rows incl. their text, turn-index sum) — a Ray task retry reproduces the
-    same name, so idempotent side writes never duplicate rows."""
+    """Content-derived batch id — a Ray task retry reproduces the same name,
+    so idempotent side writes never duplicate rows.
+
+    On the transcript schema this is (row count, boundary (conv_id,
+    turn_idx) rows incl. their text, turn-index sum) — byte-identical to
+    what it always produced, so existing sink part names are stable. For
+    any OTHER schema it derives the same shape from the batch itself (the
+    first two columns as boundary keys, the first integer column as the
+    checksum column, the first string column for boundary text) instead of
+    KeyError'ing on a hardcoded column list — write_batch_parquet is
+    documented as a generic unkeyed side-write helper."""
     import hashlib
 
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     n = batch.num_rows
     h = hashlib.md5()
-    first_txt = batch["text"][0].as_py() if "text" in batch.column_names else ""
-    last_txt = batch["text"][n - 1].as_py() if "text" in batch.column_names else ""
-    turn_sum = pc.sum(batch["turn_idx"]).as_py() or 0
+    names = batch.column_names
+    key_cols = (
+        ["conv_id", "turn_idx"]
+        if "conv_id" in names and "turn_idx" in names
+        else names[:2]
+    )
+    txt_col = "text" if "text" in names else next(
+        (c for c in names if pa.types.is_string(batch.schema.field(c).type)
+         or pa.types.is_large_string(batch.schema.field(c).type)),
+        None,
+    )
+    sum_col = "turn_idx" if "turn_idx" in names else next(
+        (c for c in names
+         if pa.types.is_integer(batch.schema.field(c).type)), None,
+    )
+    first_txt = batch[txt_col][0].as_py() if txt_col else ""
+    last_txt = batch[txt_col][n - 1].as_py() if txt_col else ""
+    turn_sum = (pc.sum(batch[sum_col]).as_py() or 0) if sum_col else 0
+    # ordering preserved for the transcript schema: n:c0:t0:cN:tN:sum:txts
+    if key_cols == ["conv_id", "turn_idx"]:
+        bounds = (
+            f"{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
+            f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}"
+        )
+    else:
+        bounds = ":".join(
+            f"{batch[c][0]}:{batch[c][n - 1]}" for c in key_cols
+        )
     h.update(
-        (
-            f"{n}:{batch['conv_id'][0]}:{batch['turn_idx'][0]}:"
-            f"{batch['conv_id'][n - 1]}:{batch['turn_idx'][n - 1]}:"
-            f"{turn_sum}:{first_txt}:{last_txt}"
-        ).encode("utf-8", "surrogatepass")
+        f"{n}:{bounds}:{turn_sum}:{first_txt}:{last_txt}".encode(
+            "utf-8", "surrogatepass"
+        )
     )
     return h.hexdigest()[:16]
 

@@ -899,3 +899,216 @@ def test_weblog_no_parseable_lines(ray_session, tmp_path):
     assert len(res["alerts"]) == 0
     assert os.path.isfile(res["report_path"])
     assert int(res["sink_counts"]["n"].sum()) == 2
+
+
+def test_weblog_sessionless_domain_usage(ray_session, tmp_path):
+    """A session-less app (every JSESSIONID '-'): domain_hour_usage's
+    jsession side aggregates NOTHING — the pivot must come back as a typed
+    empty table (not a column-less frame that KeyErrors the domain-usage
+    CSV writer) and the run must complete."""
+    from log_parser_ray.pipelines import weblog
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+    rows = [
+        (f'10.0.0.{i} - - [14/Jun/2015:10:0{i}:00 -0500] "GET /app/x HTTP/1.1" '
+         f'200 123 JSESSIONID="-" UID="u{i}@example.com" 1000 10 20 "{UA}" web0')
+        for i in range(3)
+    ]
+    (tmp_path / "access_log.1").write_text("\n".join(rows) + "\n")
+    res = weblog.run(str(tmp_path), str(tmp_path / "rpt"),
+                     file_pattern="access_log")
+    assert res["total"] == 3
+    # typed empty: columns present, zero rows
+    assert len(res["domain_hourly_sess"]) == 0
+    assert "domain" in res["domain_hourly_sess"].columns
+    # the uid side still counted
+    assert int(res["domain_hourly_uid"]["H10"].sum()) == 3
+    # the BySess CSV rendered header-only instead of crashing
+    sess_csv = os.path.join(str(tmp_path / "rpt"),
+                            "WebHourlyDomainUsageBySess.csv")
+    assert len(open(sess_csv).read().splitlines()) == 1
+
+
+def test_weblog_record_date_filter(ray_session, tmp_path):
+    """The reference's per-record date predicate (webAccessLogParser.sh:
+    151-155 `grep -F "[$rec0DD/$recLM/$recYYYY"`): record_date keeps that
+    date only; cumulative=True is the `-o full` dt <= recorddate variant.
+    Filtered-out records never reach the routed sinks."""
+    import glob
+
+    from log_parser_ray.pipelines import weblog
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+
+    def line(day, i):
+        return (f'10.0.0.1 - - [{day}/Jun/2015:10:00:0{i} -0500] '
+                f'"GET /app/x HTTP/1.1" 200 123 JSESSIONID="0000S7X:cl1" '
+                f'UID="u@example.com" 1000 10 20 "{UA}" web0')
+
+    rows = [line(14, i) for i in range(3)] + [line(15, i) for i in range(2)]
+    (tmp_path / "access_log.1").write_text("\n".join(rows) + "\n")
+    res_p = weblog.run(str(tmp_path), str(tmp_path / "p"),
+                       file_pattern="access_log", record_date="2015-06-14")
+    assert res_p["total"] == 3
+    # sink accounting agrees: the day-15 rows were never routed
+    routed = ray.data.read_parquet(
+        glob.glob(str(tmp_path / "p" / "routed" / "sink=parsed"))
+    ).count()
+    assert routed == 3
+    res_f = weblog.run(str(tmp_path), str(tmp_path / "f"),
+                       file_pattern="access_log", record_date="2015-06-15",
+                       cumulative=True)
+    assert res_f["total"] == 5
+    res_d15 = weblog.run(str(tmp_path), str(tmp_path / "d15"),
+                         file_pattern="access_log", record_date="2015-06-15")
+    assert res_d15["total"] == 2
+
+
+def test_cli_access_record_date(ray_session, tmp_path, capsys):
+    """--access-logs honors --record-date/--procoption (they must FILTER,
+    not just key the history) and --perf-baseline feeds the per-URI bart
+    column."""
+    import json
+
+    from log_parser_ray.__main__ import main
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+
+    def line(day, i):
+        return (f'10.0.0.1 - - [{day}/Jun/2015:10:00:0{i} -0500] '
+                f'"GET /app/x HTTP/1.1" 200 123 JSESSIONID="0000S7X:cl1" '
+                f'UID="u@example.com" 2000000 10 20 "{UA}" web0')
+
+    logd = tmp_path / "logs"
+    logd.mkdir()
+    (logd / "access_log.1").write_text(
+        "\n".join([line(14, i) for i in range(3)]
+                  + [line(15, i) for i in range(2)]) + "\n")
+    bl = tmp_path / "perfBaseLine.csv"
+    bl.write_text("Transaction|AverageResponseTimeInSec\n/app/x|1.5\n")
+    assert main(["--access-logs", str(logd), "--out", str(tmp_path / "o1"),
+                 "--record-date", "2015-06-14",
+                 "--perf-baseline", str(bl)]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["total"] == 3
+    # bart (baseline 1.5 s) and diff (2.0 - 1.5) present in the URI detail
+    uri_csv = os.path.join(str(tmp_path / "o1"),
+                           "WebAccessLogSummaryByTransactionRpt.csv")
+    row = open(uri_csv).read().splitlines()[1]
+    assert "1.5" in row and "0.5" in row
+    assert main(["--access-logs", str(logd), "--out", str(tmp_path / "o2"),
+                 "--record-date", "2015-06-15", "--procoption", "full"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["total"] == 5
+
+
+def test_weblog_empty_rerun_clears_history(ray_session, tmp_path):
+    """A daily rerun whose corrected logs parse NOTHING must replace every
+    history family's date partition (append_history's contract) — not just
+    two of the eight."""
+    from log_parser_ray.pipelines import weblog
+    from log_parser_ray.state.history import read_history
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+    good = (f'10.0.0.1 - - [14/Jun/2015:10:00:00 -0500] "GET /a.xhtml '
+            f'HTTP/1.1" 200 123 JSESSIONID="0000S7X:cl1" '
+            f'UID="u@example.com" 1000 10 20 "{UA}" web0')
+    d1 = tmp_path / "day1"
+    d1.mkdir()
+    (d1 / "access_log.1").write_text(good + "\n")
+    hist = str(tmp_path / "hist")
+    weblog.run(str(d1), str(tmp_path / "o1"), file_pattern="access_log",
+               history_root=hist, run_date="2015-06-14")
+    fams = ["access_hourly", "access_response_codes", "access_top_slow",
+            "access_daily", "access_request_types", "access_stats_by_ihs",
+            "access_stats_by_was"]
+    for fam in fams:
+        assert len(read_history(hist, fam)) > 0, fam
+    # corrected logs: nothing parseable on the same date
+    d2 = tmp_path / "day1b"
+    d2.mkdir()
+    (d2 / "access_log.1").write_text("garbage\n")
+    weblog.run(str(d2), str(tmp_path / "o2"), file_pattern="access_log",
+               history_root=hist, run_date="2015-06-14")
+    for fam in fams:
+        if fam == "access_daily":
+            # the daily row survives as a zero-traffic row, like the
+            # reference's daily summary line
+            h = read_history(hist, fam)
+            assert len(h) == 1 and int(h["irc"].iloc[0]) == 0
+        else:
+            assert len(read_history(hist, fam)) == 0, fam
+
+
+def test_master_recycle_history_cleared_on_rerun(ray_session, sf_dir, tmp_path):
+    """error_recycles history is appended UNCONDITIONALLY on daily runs: a
+    rerun of a date whose corrected logs show no recycles clears the stale
+    partition."""
+    from log_parser_ray.pipelines import master
+    from log_parser_ray.state.history import read_history
+    from log_parser_ray.stages.errorlog import synth_error_lines
+
+    lines = synth_error_lines(sf_dir).to_pandas().sort_values("line_id")
+    d1 = tmp_path / "l1"
+    d1.mkdir()
+    (d1 / "error_log.1").write_text("\n".join(lines["text"]) + "\n")
+    hist = str(tmp_path / "hist")
+    master.run(str(d1), str(tmp_path / "o1"), record_date="2024-01-01",
+               rpt_type="daily", history_root=hist)
+    assert len(read_history(hist, "error_recycles")) > 0
+    # corrected logs: same date, recycle notices gone
+    d2 = tmp_path / "l2"
+    d2.mkdir()
+    kept = [t for t in lines["text"] if "resuming normal operations" not in t]
+    (d2 / "error_log.1").write_text("\n".join(kept) + "\n")
+    master.run(str(d2), str(tmp_path / "o2"), record_date="2024-01-01",
+               rpt_type="daily", history_root=hist)
+    assert len(read_history(hist, "error_recycles")) == 0
+
+
+def test_batch_fingerprint_generic_schema(ray_session, tmp_path):
+    """batch_fingerprint derives its boundary/sum/text columns from the
+    batch's actual schema — a non-transcript side output gets a stable,
+    content-sensitive name instead of KeyError('conv_id')."""
+    import pyarrow.parquet as pq
+
+    from log_parser_ray.stages.route import batch_fingerprint, write_batch_parquet
+
+    t = pa.table({"srv": ["a", "b"], "dtm": ["x", "y"], "n": [1, 2]})
+    fp1 = batch_fingerprint(t)
+    assert fp1 == batch_fingerprint(t)  # deterministic
+    t2 = pa.table({"srv": ["a", "c"], "dtm": ["x", "y"], "n": [1, 2]})
+    assert fp1 != batch_fingerprint(t2)  # content-sensitive
+    out = str(tmp_path / "side")
+    write_batch_parquet(t, out)
+    write_batch_parquet(t, out)  # retry → same file, no duplicate
+    files = os.listdir(out)
+    assert len(files) == 1
+    assert pq.read_table(os.path.join(out, files[0])).num_rows == 2
+    # the transcript schema keeps its historical fingerprint formula
+    import hashlib
+
+    tt = pa.table({"conv_id": ["c1", "c2"], "turn_idx": [0, 5],
+                   "text": ["hello", "world"]})
+    exp = hashlib.md5("2:c1:0:c2:5:5:hello:world".encode()).hexdigest()[:16]
+    assert batch_fingerprint(tt) == exp
+
+
+def test_load_perf_baseline(tmp_path):
+    """load_perf_baseline parses the reference's perfBaseLine.csv format
+    (header + uri|seconds rows, webAccessLogParser.sh:214-223) into the
+    uri → microseconds map; malformed rows are skipped like AWK split()."""
+    from log_parser_ray.pipelines.weblog import load_perf_baseline
+
+    p = tmp_path / "perfBaseLine.csv"
+    p.write_text("Transaction|AverageResponseTimeInSec\n"
+                 "/a.xhtml|0.81\n"
+                 "/b.xhtml|1.645\n"
+                 "\n"
+                 "/broken|notanumber\n")
+    m = load_perf_baseline(str(p))
+    assert m == {"/a.xhtml": 0.81e6, "/b.xhtml": 1.645e6}
