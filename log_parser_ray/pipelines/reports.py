@@ -221,7 +221,8 @@ def filtered_error_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
 def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
                 fmt_row, sort_by, descending) -> str:
     """Stream a Dataset to a CSV report file in the reference's sorted
-    printf layout — sorted distributedly, rendered batch by batch.
+    printf layout — sorted distributedly, FORMATTED distributedly, the
+    driver only appends pre-rendered line blocks to the file.
 
     The input is materialized ONCE before the emptiness probe: on a lazy
     input, ``count()`` would otherwise execute the whole upstream pipeline
@@ -230,18 +231,49 @@ def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
     blocks land in the object store (spillable) and are freed when the
     materialized handle goes out of scope; the empty guard itself stays
     (Ray's sort rejects the schema-less blocks an all-empty map chain
-    produces)."""
+    produces).
+
+    Row → text runs INSIDE ``map_batches`` (the per-row printf closure is
+    unavoidable — the layouts are positional printf templates — but it
+    parallelizes across blocks instead of serializing on the driver); the
+    driver's loop is one ``"\\n".join`` + write per batch. Order holds
+    because map_batches preserves within-block order and iter_batches
+    yields blocks in dataset order."""
     import os
+
+    import pandas as pd
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ds = ds.materialize()
-    srt = ds.sort(sort_by, descending=descending) if ds.count() else ds
-    with open(path, "w") as fh:
-        if header is not None:
-            fh.write(header + "\n")
-        for b in srt.iter_batches(batch_format="pandas"):
-            for row in b.itertuples(index=False):
-                fh.write(fmt_row(row) + "\n")
+    n = ds.count()
+    srt = ds.sort(sort_by, descending=descending) if n else ds
+
+    def render(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"line": [fmt_row(r) for r in df.itertuples(index=False)]}
+        )
+
+    # the streaming executor yields task outputs in COMPLETION order unless
+    # preserve_order is set — a multi-block sorted file would interleave.
+    # Flip it only for this render's execution window (process-global
+    # setting; concurrent stages lose a little scheduling freedom, never
+    # correctness), restore after.
+    from ray.data.context import DataContext
+
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        with open(path, "w") as fh:
+            if header is not None:
+                fh.write(header + "\n")
+            if n:
+                lines = srt.map_batches(render, batch_format="pandas")
+                for b in lines.iter_batches(batch_format="pandas"):
+                    if len(b):
+                        fh.write("\n".join(b["line"]) + "\n")
+    finally:
+        opts.preserve_order = prev
     return path
 
 

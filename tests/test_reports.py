@@ -348,3 +348,29 @@ def test_was_tables_no_parseable_lines(ray_session):
     assert len(t["alerts"]) == 0
     txt = render_was_summary(t, record_date="2024-01-01")
     assert "===== WAS log analysis report =====" in txt
+
+
+def test_stream_csv_multiblock_order(ray_session, tmp_path):
+    """_stream_csv renders a MULTI-block sorted Dataset in global order:
+    formatting runs distributed (map_batches) and the iteration pins
+    preserve_order for its execution window — without it the streaming
+    executor yields blocks in completion order and a large sorted detail
+    file would interleave."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from log_parser_ray.pipelines.reports import _stream_csv
+
+    rng = np.random.RandomState(7)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": rng.permutation(5000)})).repartition(16)
+    p = str(tmp_path / "out.csv")
+    _stream_csv(ds, p, "v", lambda r: str(r.v), ["v"], [False])
+    got = [int(x) for x in open(p).read().splitlines()[1:]]
+    assert got == sorted(got) and len(got) == 5000
+    # the global preserve_order default is restored afterwards
+    from ray.data.context import DataContext
+
+    assert DataContext.get_current().execution_options.preserve_order is False
