@@ -52,6 +52,11 @@ def main(argv=None) -> int:
                          "(`Transaction|AverageResponseTimeInSec`, "
                          "webAccessLogParser.sh:37,1003-1023) feeding the "
                          "per-URI detail report's bart/diff columns")
+    ap.add_argument("--thresholds", default=None, metavar="CSV",
+                    help="thresholdValues.csv (`property|value|target|"
+                         "comment`, the reference's fTh file) — overrides "
+                         "the built-in per-family alert thresholds for "
+                         "this run")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
                     help="resumable per-input-range run with lineage manifest "
@@ -87,6 +92,13 @@ def main(argv=None) -> int:
         ap.error("--record-date/--rpttype daily are not supported with "
                  "--partitioned (partition by date via separate daily runs)")
     history_root = args.history_root or (args.out.rstrip("/") + "/history")
+
+    if args.thresholds:
+        # in-place update: every pipeline reads the same dict object at
+        # alert-evaluation time, so the override covers the whole run
+        from log_parser_ray import schema
+
+        schema.FAMILY_THRESHOLDS.update(schema.load_thresholds(args.thresholds))
 
     if args.master_logs:
         from log_parser_ray.pipelines import master

@@ -119,6 +119,47 @@ FAMILY_THRESHOLDS: dict[str, float] = {
     "jvm.App.fgcOldGenAfTh": 4_700_000.0,
 }
 
+def load_thresholds(path: str,
+                    base: dict[str, float] | None = None) -> dict[str, float]:
+    """Parse the reference's thresholdValues.csv into the FAMILY_THRESHOLDS
+    key scheme and return an UPDATED COPY (callers decide whether to adopt
+    it; the CLI updates the global in place for the run).
+
+    File shape: ``property|value|target|comment``, ``#`` comment lines,
+    duplicate rows last-wins (plain AWK array overwrite). Dotted targets
+    (``was.App``, ``jvm.Bat``) key exactly like the WAS/GC parsers —
+    ``<target>.<property>`` (websphereLogParser.sh:150-158,
+    javaGCStatsParser.sh:136-148). The dotless ``http`` target is the
+    access parser's GLOBAL rule set — ``http.<property>``
+    (webAccessLogParser.sh:180-192) — and ``http.*`` rows additionally
+    spread onto every existing per-prefix http rule with that property,
+    because the error parser loads them BARE and applies them to every
+    server (webErrorLogParser.sh:100-112)."""
+    out = dict(FAMILY_THRESHOLDS if base is None else base)
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("|")
+            if len(parts) < 3:
+                continue
+            prop, val, target = (parts[0].strip(), parts[1].strip(),
+                                 parts[2].strip())
+            try:
+                v = float(val)
+            except ValueError:
+                continue  # heading / malformed row — AWK split() skips too
+            key = f"{target}.{prop}"
+            out[key] = v
+            if target == "http" or target.startswith("http."):
+                for k in list(out):
+                    if (k.startswith("http.") and k.endswith("." + prop)
+                            and k != key):
+                        out[k] = v
+    return out
+
+
 # WASCustomFilter.txt analogue: user-pluggable critical-error regexes, applied
 # to EVERY turn's text (websphereLogParser.sh:99-101,123,136).
 FILTER_PATTERNS: list[str] = [

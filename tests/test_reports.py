@@ -374,3 +374,58 @@ def test_stream_csv_multiblock_order(ray_session, tmp_path):
     from ray.data.context import DataContext
 
     assert DataContext.get_current().execution_options.preserve_order is False
+
+
+def test_load_thresholds(tmp_path):
+    """schema.load_thresholds parses the reference's thresholdValues.csv:
+    dotted targets key `<target>.<property>` (WAS/GC style), the dotless
+    http target keys the global rules, http.* rows spread onto existing
+    per-prefix http rules, duplicates last-win, comments/malformed skipped."""
+    from log_parser_ray import schema
+
+    p = tmp_path / "thresholdValues.csv"
+    p.write_text(
+        "#property|value|target|comment\n"
+        "httpAvgRespTimeTh|9.5|http|global avg\n"
+        "httpErrorCountTh|7|http.err|per-server error count\n"
+        "wasECntTh|123|was.App|dup first\n"
+        "wasECntTh|456|was.App|dup last wins\n"
+        "gcDlyCountTh|42|jvm.Bat|new prefix rule\n"
+        "broken|notanumber|http|skipped\n"
+    )
+    out = schema.load_thresholds(str(p))
+    assert out["http.httpAvgRespTimeTh"] == 9.5
+    # http.err spreads onto the existing per-prefix http rule
+    assert out["http.web.httpErrorCountTh"] == 7.0
+    assert out["was.App.wasECntTh"] == 456.0
+    assert out["jvm.Bat.gcDlyCountTh"] == 42.0
+    # returns a copy — the module global is untouched
+    assert schema.FAMILY_THRESHOLDS["was.App.wasECntTh"] == 4500.0
+
+
+def test_cli_thresholds_flag(ray_session, sf_dir, tmp_path, capsys):
+    """--thresholds overrides the built-in alert rules for the run: an
+    absurdly low wasECntTh makes every synth WAS server alert."""
+    import json
+
+    from log_parser_ray import schema
+    from log_parser_ray.__main__ import main
+    from log_parser_ray.stages.waslog import synth_was_lines
+
+    logd = tmp_path / "logs"
+    logd.mkdir()
+    df = synth_was_lines(sf_dir).to_pandas().sort_values("line_id")
+    (logd / "SystemOut.log").write_text("\n".join(df["text"]) + "\n")
+    th = tmp_path / "th.csv"
+    th.write_text("wasECntTh|0|was.was|alert on any error\n")
+    saved = dict(schema.FAMILY_THRESHOLDS)
+    try:
+        assert main(["--master-logs", str(logd), "--out",
+                     str(tmp_path / "o1"), "--thresholds", str(th)]) == 0
+        capsys.readouterr()
+        al = pd.read_csv(tmp_path / "o1" / "alerts.csv")
+        hit = al[al["rule"].str.contains("wasECntTh")]
+        assert len(hit) > 0 and (hit["threshold"] == 0).all()
+    finally:
+        schema.FAMILY_THRESHOLDS.clear()
+        schema.FAMILY_THRESHOLDS.update(saved)
