@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                          "comment`, the reference's fTh file) — overrides "
                          "the built-in per-family alert thresholds for "
                          "this run")
+    ap.add_argument("--clone-map", default=None, metavar="CSV",
+                    help="--access-logs/--master-logs: WAS_CloneIDs.csv "
+                         "(`cloneID|WASname|host`, webAccessLogParser.sh:"
+                         "36,196-201) — the cloneID→WAS topology map; "
+                         "default is the built-in test topology")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
                     help="resumable per-input-range run with lineage manifest "
@@ -100,6 +105,12 @@ def main(argv=None) -> int:
 
         schema.FAMILY_THRESHOLDS.update(schema.load_thresholds(args.thresholds))
 
+    clone_map = None
+    if args.clone_map:
+        from log_parser_ray.stages.accesslog import load_clone_map
+
+        clone_map = load_clone_map(args.clone_map)
+
     if args.master_logs:
         from log_parser_ray.pipelines import master
 
@@ -108,6 +119,7 @@ def main(argv=None) -> int:
             record_date=args.record_date, rpt_type=args.rpttype,
             history_root=history_root if daily else None,
             perf_baseline=args.perf_baseline,
+            clone_map=clone_map,
         )
         print(json.dumps({"families": results}, sort_keys=True))
         return 0
@@ -117,6 +129,7 @@ def main(argv=None) -> int:
 
         res = weblog.run(
             args.access_logs, args.out, file_pattern=args.file_pattern,
+            clone_map=clone_map,
             history_root=history_root if daily else None,
             run_date=args.record_date if daily else None,
             # the reference's per-record date grep (webAccessLogParser.sh:

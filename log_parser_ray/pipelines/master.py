@@ -46,6 +46,7 @@ def run(
     rpt_type: str = "ondemand",
     history_root: str | None = None,
     perf_baseline: str | None = None,
+    clone_map: dict[str, str] | None = None,
 ) -> dict:
     """Run every applicable parser family over ``log_dir``; returns
     {family: rows}.
@@ -58,7 +59,9 @@ def run(
     date predicate is the rotated-file pattern — pass weblog.run's
     ``record_date`` directly for a per-record predicate).
     ``perf_baseline`` is the access family's perfBaseLine.csv path
-    (webAccessLogParser.sh:37) feeding the per-URI bart/diff columns."""
+    (webAccessLogParser.sh:37) feeding the per-URI bart/diff columns;
+    ``clone_map`` overrides the cloneID→WAS topology (WAS_CloneIDs.csv,
+    loadable via ``accesslog.load_clone_map``)."""
     import pandas as pd
 
     from log_parser_ray.pipelines import weblog
@@ -124,6 +127,7 @@ def run(
         res = weblog.run(
             log_dir, os.path.join(out_dir, "access"),
             file_pattern=FAMILIES["access"],
+            clone_map=clone_map,
             history_root=history_root if daily else None,
             run_date=record_date if daily else None,
             perf_baseline_us=(

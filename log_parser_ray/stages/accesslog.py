@@ -64,6 +64,23 @@ CLONE_MAP: dict[str, str] = {
     "cl0": "WAS_A", "cl1": "WAS_B", "cl2": "WAS_C", "cl3": "WAS_D",
 }
 
+
+def load_clone_map(path: str) -> dict[str, str]:
+    """Parse the reference's WAS_CloneIDs.csv — ``cloneID|WASname|host``
+    rows, first two fields keep, extras ignored (webAccessLogParser.sh:
+    36,196-201 ``arrWasCloneIDs[ln[1]]=ln[2]``). Tiny file, read once on
+    the driver; the map broadcasts by closure into the fused parse task."""
+    out: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("|")
+            if len(parts) >= 2 and parts[0]:
+                out[parts[0].strip()] = parts[1].strip()
+    return out
+
 # RT ranges on integer µs (webAccessLogParser.sh:465-481 `<=` seconds)
 RT_RANGES = [("<=1sec", 1_000_000), ("<=5sec", 5_000_000),
              ("<=10sec", 10_000_000), ("<=20sec", 20_000_000)]

@@ -1112,3 +1112,35 @@ def test_load_perf_baseline(tmp_path):
                  "/broken|notanumber\n")
     m = load_perf_baseline(str(p))
     assert m == {"/a.xhtml": 0.81e6, "/b.xhtml": 1.645e6}
+
+
+def test_clone_map_file_and_cli(ray_session, tmp_path, capsys):
+    """accesslog.load_clone_map parses WAS_CloneIDs.csv (`cloneID|WASname|
+    host`, extras ignored) and --clone-map rewires the cloneID→WAS
+    topology for an --access-logs run."""
+    import json
+
+    from log_parser_ray.__main__ import main
+    from log_parser_ray.stages.accesslog import load_clone_map
+
+    cm = tmp_path / "WAS_CloneIDs.csv"
+    cm.write_text("#cloneID|WAS|host\n"
+                  "cl1|MYWAS01|washost082\n"
+                  "cl2|MYWAS02|washost083\n"
+                  "malformed-line\n")
+    assert load_clone_map(str(cm)) == {"cl1": "MYWAS01", "cl2": "MYWAS02"}
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+    logd = tmp_path / "logs"
+    logd.mkdir()
+    (logd / "access_log.1").write_text(
+        f'10.0.0.1 - - [14/Jun/2015:10:00:00 -0500] "GET /app/x HTTP/1.1" '
+        f'200 123 JSESSIONID="0000S7X:cl1" UID="u@example.com" 1000 10 20 '
+        f'"{UA}" web0\n')
+    assert main(["--access-logs", str(logd), "--out", str(tmp_path / "o"),
+                 "--clone-map", str(cm)]) == 0
+    capsys.readouterr()
+    parsed = ray.data.read_parquet(
+        str(tmp_path / "o" / "routed" / "sink=parsed")).to_pandas()
+    assert list(parsed["was"].unique()) == ["MYWAS01"]
