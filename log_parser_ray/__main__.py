@@ -62,6 +62,12 @@ def main(argv=None) -> int:
                          "(`cloneID|WASname|host`, webAccessLogParser.sh:"
                          "36,196-201) — the cloneID→WAS topology map; "
                          "default is the built-in test topology")
+    ap.add_argument("--custom-filter", default=None, metavar="TXT",
+                    help="WASCustomFilter.txt (one keyword/regex per line, "
+                         "# comments; websphereLogParser.sh:99-101) — "
+                         "REPLACES the built-in critical-keyword filter "
+                         "patterns for this run, matched case-insensitively "
+                         "like the reference's egrep -i")
     ap.add_argument("--out", required=True, help="output root for routed sinks + reports")
     ap.add_argument("--partitioned", action="store_true",
                     help="resumable per-input-range run with lineage manifest "
@@ -110,6 +116,14 @@ def main(argv=None) -> int:
         from log_parser_ray.stages.accesslog import load_clone_map
 
         clone_map = load_clone_map(args.clone_map)
+
+    if args.custom_filter:
+        # in-place slice assignment: parse.py / reports.py hold the same
+        # list object, so the replacement covers every consumer this run
+        from log_parser_ray import schema
+
+        schema.FILTER_PATTERNS[:] = schema.load_filter_patterns(
+            args.custom_filter)
 
     if args.master_logs:
         from log_parser_ray.pipelines import master

@@ -167,6 +167,21 @@ FILTER_PATTERNS: list[str] = [
     r"OutOfMemory",
 ]
 
+
+def load_filter_patterns(path: str) -> list[str]:
+    """Parse the reference's WASCustomFilter.txt — one keyword/regex per
+    line, ``#`` comments (websphereLogParser.sh:99-101 builds an
+    ``egrep -i`` union from it). Each pattern is wrapped ``(?i:…)`` to
+    reproduce the reference's case-INSENSITIVE match (RE2-compatible, so
+    it runs inside Arrow's match_substring_regex kernels unchanged)."""
+    pats: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                pats.append(f"(?i:{line})")
+    return pats
+
 # Response-time buckets (webAccessLogParser.sh:465-481 uses `<=` boundaries
 # 1/5/10/20 s). Labels are lexically ordered for stable sorts. Compared on
 # integer rt_us so the bucketing is exact under parallelism.

@@ -429,3 +429,30 @@ def test_cli_thresholds_flag(ray_session, sf_dir, tmp_path, capsys):
     finally:
         schema.FAMILY_THRESHOLDS.clear()
         schema.FAMILY_THRESHOLDS.update(saved)
+
+
+def test_cli_custom_filter(ray_session, sf_dir, tmp_path, capsys):
+    """--custom-filter replaces the WASCustomFilter.txt keyword set for the
+    run (case-insensitive, like the reference's egrep -i): a pattern
+    matching ordinary turn text swells the `filtered` sink."""
+    import json
+
+    from log_parser_ray import schema
+    from log_parser_ray.__main__ import main
+
+    saved = list(schema.FILTER_PATTERNS)
+    try:
+        assert main(["--events-sf", sf_dir, "--out",
+                     str(tmp_path / "base")]) == 0
+        base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        f = tmp_path / "WASCustomFilter.txt"
+        f.write_text("# custom keywords\nTIMEOUT\n")
+        assert main(["--events-sf", sf_dir, "--out", str(tmp_path / "cust"),
+                     "--custom-filter", str(f)]) == 0
+        cust = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # the loader wrapped the pattern case-insensitively
+        assert schema.FILTER_PATTERNS == ["(?i:TIMEOUT)"]
+        assert cust["sink_counts"].get("filtered", 0) \
+            != base["sink_counts"].get("filtered", 0)
+    finally:
+        schema.FILTER_PATTERNS[:] = saved
