@@ -456,3 +456,36 @@ def test_cli_custom_filter(ray_session, sf_dir, tmp_path, capsys):
             != base["sink_counts"].get("filtered", 0)
     finally:
         schema.FILTER_PATTERNS[:] = saved
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference checkout not present")
+def test_loaders_parse_reference_artifacts():
+    """The four config-file loaders parse the reference repo's OWN committed
+    artifacts (not synthesized copies): thresholdValues.csv, perfBaseLine.csv,
+    WAS_CloneIDs.csv, WASCustomFilter.txt."""
+    from log_parser_ray import schema
+    from log_parser_ray.pipelines.weblog import load_perf_baseline
+    from log_parser_ray.stages.accesslog import load_clone_map
+
+    th = schema.load_thresholds("/root/reference/thresholdValues.csv")
+    # values straight from the file, keyed like the parsers key them
+    assert th["http.httpAvgRespTimeTh"] == 2.5
+    assert th["was.App.wasFCntTh"] == 5.0
+    assert th["jvm.Bat.gcDlyCountTh"] == 100.0
+    # last-wins on the duplicated was.App wasTranTmOutCntTh rows (3 then 2)
+    assert th["was.App.wasTranTmOutCntTh"] == 2.0
+    # the http.err row spread onto the engine's per-prefix error rule
+    assert th["http.web.httpErrorCountTh"] == 3500.0
+
+    bl = load_perf_baseline("/root/reference/perfBaseLine.csv")
+    assert bl["/custCaseMgmt/admin/caseNotification.xhtml"] == 0.81e6
+    assert len(bl) > 10 and all(v > 0 for v in bl.values())
+
+    cm = load_clone_map("/root/reference/WAS_CloneIDs.csv")
+    assert cm["23532em3r"] == "AppSrv01"
+    assert len(cm) >= 8
+
+    pats = schema.load_filter_patterns("/root/reference/WASCustomFilter.txt")
+    assert "(?i:CORBA.*NO_RESPONSE)" in pats
+    assert all(p.startswith("(?i:") for p in pats) and len(pats) == 5
