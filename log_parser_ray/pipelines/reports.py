@@ -218,6 +218,38 @@ def filtered_error_counts(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return grouped_count(rows, ["srv", "msg"], alias="cnt")
 
 
+import contextlib
+import threading
+
+# refcounted preserve_order window: detail writers run in CONCURRENT report
+# threads, and the streaming executor yields task outputs in COMPLETION
+# order unless preserve_order is set — a multi-block sorted file would
+# interleave. A plain save/restore would race (thread A restoring False
+# while thread B's ordered iteration still executes), so the flag goes up
+# with the first ordered writer and down with the last.
+_ORDER_LOCK = threading.Lock()
+_ORDER_STATE = {"depth": 0, "prev": False}
+
+
+@contextlib.contextmanager
+def _ordered_execution():
+    from ray.data.context import DataContext
+
+    opts = DataContext.get_current().execution_options
+    with _ORDER_LOCK:
+        if _ORDER_STATE["depth"] == 0:
+            _ORDER_STATE["prev"] = opts.preserve_order
+            opts.preserve_order = True
+        _ORDER_STATE["depth"] += 1
+    try:
+        yield
+    finally:
+        with _ORDER_LOCK:
+            _ORDER_STATE["depth"] -= 1
+            if _ORDER_STATE["depth"] == 0:
+                opts.preserve_order = _ORDER_STATE["prev"]
+
+
 def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
                 fmt_row, sort_by, descending) -> str:
     """Stream a Dataset to a CSV report file in the reference's sorted
@@ -253,17 +285,7 @@ def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
             {"line": [fmt_row(r) for r in df.itertuples(index=False)]}
         )
 
-    # the streaming executor yields task outputs in COMPLETION order unless
-    # preserve_order is set — a multi-block sorted file would interleave.
-    # Flip it only for this render's execution window (process-global
-    # setting; concurrent stages lose a little scheduling freedom, never
-    # correctness), restore after.
-    from ray.data.context import DataContext
-
-    opts = DataContext.get_current().execution_options
-    prev = opts.preserve_order
-    opts.preserve_order = True
-    try:
+    with _ordered_execution():
         with open(path, "w") as fh:
             if header is not None:
                 fh.write(header + "\n")
@@ -272,8 +294,6 @@ def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
                 for b in lines.iter_batches(batch_format="pandas"):
                     if len(b):
                         fh.write("\n".join(b["line"]) + "\n")
-    finally:
-        opts.preserve_order = prev
     return path
 
 
