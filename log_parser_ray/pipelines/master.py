@@ -225,13 +225,18 @@ def run(
                 ),
                 ["srv"], ["bsy", "line_id"], [True, False],
             ).to_pandas().sort_values("srv")
-            # per-server daily max-bsy record → date-partitioned history
-            # (the reference's mpmstats history append,
-            # webErrorLogParser.sh:361-379)
-            hist("mpmstats_daily_max", mx)
             all_alerts.append(_prefix_alerts(
                 mx, family="http", prop="httpMpmStBsyCountTh",
                 key_col="srv", value_col="bsy"))
+        else:
+            mx = pd.DataFrame(columns=["srv", "line_id", "dtm", "rdy", "bsy",
+                                       "rd", "wr", "ka", "log", "dns", "cls",
+                                       "was_bsy", "wbg_bsy"])
+        # per-server daily max-bsy record → date-partitioned history
+        # (webErrorLogParser.sh:361-379). UNCONDITIONAL like the recycle
+        # append below: a rerun whose corrected logs carry no mpmstats rows
+        # must still clear that date's partition
+        hist("mpmstats_daily_max", mx)
         # IHS recycle notices: one alert row per restart + the
         # RecycleHistoryRpt date|srv daily rows (webErrorLogParser.sh:
         # 45-49,248-253); bounded — restarts per day, not request traffic

@@ -1144,3 +1144,30 @@ def test_clone_map_file_and_cli(ray_session, tmp_path, capsys):
     parsed = ray.data.read_parquet(
         str(tmp_path / "o" / "routed" / "sink=parsed")).to_pandas()
     assert list(parsed["was"].unique()) == ["MYWAS01"]
+
+
+def test_master_mpm_history_cleared_on_rerun(ray_session, sf_dir, tmp_path):
+    """mpmstats_daily_max is appended unconditionally on daily runs: a
+    rerun of a date whose corrected logs carry no mpmstats rows clears
+    the stale per-server max partition."""
+    from log_parser_ray.pipelines import master
+    from log_parser_ray.state.history import read_history
+    from log_parser_ray.stages.errorlog import synth_error_lines
+
+    lines = synth_error_lines(sf_dir).to_pandas().sort_values("line_id")
+    d1 = tmp_path / "l1"
+    d1.mkdir()
+    (d1 / "error_log.1").write_text("\n".join(lines["text"]) + "\n")
+    hist = str(tmp_path / "hist")
+    master.run(str(d1), str(tmp_path / "o1"), record_date="2024-01-01",
+               rpt_type="daily", history_root=hist)
+    assert len(read_history(hist, "mpmstats_daily_max")) > 0
+    # corrected logs: mpmstats rows gone, error rows remain
+    d2 = tmp_path / "l2"
+    d2.mkdir()
+    kept = [t for t in lines["text"] if "mpmstats" not in t]
+    assert kept
+    (d2 / "error_log.1").write_text("\n".join(kept) + "\n")
+    master.run(str(d2), str(tmp_path / "o2"), record_date="2024-01-01",
+               rpt_type="daily", history_root=hist)
+    assert len(read_history(hist, "mpmstats_daily_max")) == 0
