@@ -285,8 +285,13 @@ def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
             {"line": [fmt_row(r) for r in df.itertuples(index=False)]}
         )
 
+    # tmp + os.replace commit like the parquet sinks (route.py) and the
+    # reference's own mv-commit (webAccessLogParser.sh:1518-1557) — a crash
+    # mid-stream never leaves a truncated file at the final path
+    tmp = os.path.join(os.path.dirname(path),
+                       f".tmp-{os.path.basename(path)}")
     with _ordered_execution():
-        with open(path, "w") as fh:
+        with open(tmp, "w") as fh:
             if header is not None:
                 fh.write(header + "\n")
             if n:
@@ -294,6 +299,7 @@ def _stream_csv(ds: "ray.data.Dataset", path: str, header: str | None,
                 for b in lines.iter_batches(batch_format="pandas"):
                     if len(b):
                         fh.write("\n".join(b["line"]) + "\n")
+    os.replace(tmp, path)
     return path
 
 
