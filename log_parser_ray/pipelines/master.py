@@ -165,13 +165,21 @@ def run(
             # K8 is an UNLIMITED ranking (distinct referrers grow with the
             # corpus) — stream the sorted Dataset batch by batch instead of
             # collecting it to driver pandas
+            from log_parser_ray.pipelines.reports import _ordered_execution
+
             ref_csv = os.path.join(out_dir, "error", "errCntByRef.csv")
             os.makedirs(os.path.dirname(ref_csv), exist_ok=True)
-            with open(ref_csv, "w") as fh:
-                fh.write("referrer,err_det,n\n")
-                for b in referrer_error_ranking(errs).iter_batches(
-                        batch_format="pandas"):
-                    b.to_csv(fh, index=False, header=False)
+            ref_tmp = os.path.join(out_dir, "error", ".tmp-errCntByRef.csv")
+            # ordered window (iter_batches yields in completion order
+            # otherwise — a multi-block ranking would interleave) +
+            # tmp/rename commit, like reports._stream_csv
+            with _ordered_execution():
+                with open(ref_tmp, "w") as fh:
+                    fh.write("referrer,err_det,n\n")
+                    for b in referrer_error_ranking(errs).iter_batches(
+                            batch_format="pandas"):
+                        b.to_csv(fh, index=False, header=False)
+            os.replace(ref_tmp, ref_csv)
             # 03_WebErrorLogSummaryRpt: count-by-server / by-detail /
             # by-referrer sections (webErrorLogParser.sh:321-347 render)
             from log_parser_ray.pipelines.reports import (

@@ -616,24 +616,33 @@ def write_user_sessions(sessions: "ray.data.Dataset", out_dir: str) -> str | Non
     sorted by uid — webAccessLogParser.sh:49,168,1273-1295). Streaming write
     (never a full driver collect); no file when no session logged in,
     mirroring the reference's length(arrWhereUidStart)>0 guard."""
+    from log_parser_ray.pipelines.reports import _ordered_execution
+
     path = os.path.join(out_dir, "WebAccessLogSummaryByUidSessionRpt.csv")
-    srt = sessions.sort(["uid", "ws", "was", "clnid", "js"])
+    tmp = os.path.join(out_dir, ".tmp-WebAccessLogSummaryByUidSessionRpt.csv")
     rows = 0
-    with open(path, "w") as fh:
-        fh.write("ws was clnid js uid strtm endtm diff\n")
-        for b in srt.iter_batches(batch_format="pyarrow"):
-            if b.num_rows == 0:
-                continue
-            d = pc.fill_null(pc.cast(b["diff"], pa.string()), "na").to_pylist()
-            cols = [b[c].to_pylist()
-                    for c in ("ws", "was", "clnid", "js", "uid",
-                              "strtm", "endtm")]
-            for vals in zip(*cols, d):
-                fh.write(" ".join(vals) + "\n")
-                rows += 1
+    # _ordered_execution: iter_batches yields blocks in COMPLETION order
+    # unless preserve_order is set — a multi-block sorted file would
+    # interleave (same hazard _stream_csv guards)
+    with _ordered_execution():
+        srt = sessions.sort(["uid", "ws", "was", "clnid", "js"])
+        with open(tmp, "w") as fh:
+            fh.write("ws was clnid js uid strtm endtm diff\n")
+            for b in srt.iter_batches(batch_format="pyarrow"):
+                if b.num_rows == 0:
+                    continue
+                d = pc.fill_null(
+                    pc.cast(b["diff"], pa.string()), "na").to_pylist()
+                cols = [b[c].to_pylist()
+                        for c in ("ws", "was", "clnid", "js", "uid",
+                                  "strtm", "endtm")]
+                for vals in zip(*cols, d):
+                    fh.write(" ".join(vals) + "\n")
+                    rows += 1
     if rows == 0:
-        os.remove(path)
+        os.remove(tmp)
         return None
+    os.replace(tmp, path)
     return path
 
 
@@ -642,15 +651,21 @@ def _write_unknown_ua(out_dir: str) -> str | None:
     tasks) to the reference's WebAccessLogSummaryUnknowUARpt.csv — raw
     lines, no header (webAccessLogParser.sh:50,652,1544-1546); no file when
     every agent classified."""
+    from log_parser_ray.pipelines.reports import _ordered_execution
+
     src = os.path.join(out_dir, "unknownua")
     if not os.path.isdir(src) or not os.listdir(src):
         return None
-    ds = ray.data.read_parquet(src).sort(["conv_id", "turn_idx"])
     path = os.path.join(out_dir, "WebAccessLogSummaryUnknowUARpt.csv")
-    with open(path, "w") as fh:
-        for b in ds.iter_batches(batch_format="pyarrow"):
-            for txt in b["text"].to_pylist():
-                fh.write(txt + "\n")
+    tmp = os.path.join(out_dir, ".tmp-WebAccessLogSummaryUnknowUARpt.csv")
+    # ordered window + tmp/rename commit, like every other sorted stream
+    with _ordered_execution():
+        ds = ray.data.read_parquet(src).sort(["conv_id", "turn_idx"])
+        with open(tmp, "w") as fh:
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                for txt in b["text"].to_pylist():
+                    fh.write(txt + "\n")
+    os.replace(tmp, path)
     return path
 
 

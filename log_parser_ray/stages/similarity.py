@@ -143,11 +143,16 @@ def kmeans_fit_sampled(
         frac = sample_target / n
         keep = max(1, min(65536, round(frac * 65536)))
         emb = sample_by_hash(emb, id_col, keep_buckets=keep)
-    parts = [
-        _to_matrix(pa.table(b)["embedding"])
-        for b in emb.iter_batches(batch_format="pyarrow")
-    ]
+    parts, id_parts = [], []
+    for b in emb.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        parts.append(_to_matrix(t["embedding"]))
+        id_parts.append(t[id_col].to_numpy(zero_copy_only=False))
     m = np.concatenate(parts, axis=0)
+    # batches arrive in COMPLETION order (streaming executor) — re-order the
+    # bounded sample by id so the seeded init is block-layout invariant, as
+    # the docstring promises
+    m = m[np.argsort(np.concatenate(id_parts), kind="stable")]
     return kmeans_fit(m, n_clusters=n_clusters, n_iter=n_iter, seed=seed)
 
 
