@@ -672,6 +672,30 @@ def test_whereuid_user_sessions_report(ray_session, tmp_path):
     assert res2["user_sessions_path"] is None
 
 
+def test_write_user_sessions_multiblock_order(ray_session, tmp_path):
+    """write_user_sessions renders a MULTI-block session table in global
+    uid order: the iteration pins preserve_order for its execution window
+    (the _stream_csv hazard — without it the streaming executor yields
+    sorted blocks in completion order and the file interleaves)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from log_parser_ray.pipelines.weblog import write_user_sessions
+
+    rng = np.random.RandomState(11)
+    uids = [f"u{i:05d}@example.com" for i in rng.permutation(4000)]
+    df = pd.DataFrame({
+        "ws": "web0", "was": "WAS_A", "clnid": "cl0", "js": "S1",
+        "uid": uids, "strtm": "2015-06-14:10:00:00",
+        "endtm": "2015-06-14:11:00:00", "diff": 3600,
+    })
+    ds = ray.data.from_pandas(df).repartition(16)
+    path = write_user_sessions(ds, str(tmp_path))
+    got = [ln.split()[4] for ln in open(path).read().splitlines()[1:]]
+    assert got == sorted(got) and len(got) == 4000
+
+
 def test_weblog_history_append_idempotent(ray_session, sf_dir, tmp_path):
     """IO5 on the real pack: daily history appends are idempotent per date
     (a rerun of the same day replaces, never double-appends)."""
