@@ -106,11 +106,15 @@ def run(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        from log_parser_ray.state.manifest import fresh_dir
+
         merge_join(
             docs, kept_ids, on="doc_id", how="left_semi",
             left_schema=docs.schema().base_schema,
             right_schema=pa.schema([("doc_id", pa.int64())]),
-        ).write_parquet(out_dir)
+            # fresh_dir: a rerun replaces the curated output, never
+            # accumulates a second uuid-named file set next to stale rows
+        ).write_parquet(fresh_dir(out_dir))
 
     return {
         "dispositions": disp_ds,

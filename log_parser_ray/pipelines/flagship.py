@@ -21,6 +21,7 @@ pass per report: every report consumes the same materialized narrow blocks.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 
@@ -74,6 +75,17 @@ def run(
     t0 = time.perf_counter()
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="logpipe_run_")
+    else:
+        # rerun into an existing out_dir must REPLACE the routed sinks and
+        # alerts, not accumulate stale content-named parts next to them
+        # (state.manifest.fresh_dir contract; fresh tempdir path skips it)
+        import glob as _glob
+
+        from log_parser_ray.state.manifest import fresh_dir
+
+        for d in _glob.glob(os.path.join(out_dir, "sink=*")):
+            fresh_dir(d)
+        fresh_dir(os.path.join(out_dir, "alerts"))
     narrow_cols = ["conv_id", "turn_idx", "category", "hour", "tool_name", "rt_us", "sink"]
     # A plain-function stage (NOT an actor pool) so Ray fuses
     # read → parse → enrich+write+project into ONE task per input block:

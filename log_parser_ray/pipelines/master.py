@@ -22,7 +22,11 @@ import time
 
 import ray.data
 
-from log_parser_ray.state.manifest import PartitionRecord, RunManifest
+from log_parser_ray.state.manifest import (
+    PartitionRecord,
+    RunManifest,
+    fresh_dir,
+)
 
 FAMILIES = {
     "access": "access_log",
@@ -151,9 +155,12 @@ def run(
         tagged = parse_error_families(lines_for(FAMILIES["error"])).materialize()
         errs, mpm = split_error_families(tagged)
         errs = errs.materialize()
-        errs.write_parquet(os.path.join(out_dir, "error", "rows"))
+        # fresh_dir: a rerun must REPLACE each family's parquet rows, not
+        # accumulate a second uuid-named file set next to the stale one
+        errs.write_parquet(fresh_dir(os.path.join(out_dir, "error", "rows")))
         mpm = mpm.materialize()
-        mpm.write_parquet(os.path.join(out_dir, "error", "mpmstats"))
+        mpm.write_parquet(
+            fresh_dir(os.path.join(out_dir, "error", "mpmstats")))
         # report edges (small aggregates): the reference's errCntByRef
         # ranking (webErrorLogParser.sh:341-347) and the per-server max-bsy
         # mpmstats record that feeds WebErrorLogMpmStatsRpt_all.csv
@@ -271,8 +278,9 @@ def run(
     def run_was() -> None:
         t0 = time.perf_counter()
         parsed = parse_was_lines(lines_for(FAMILIES["was"])).materialize()
-        parsed.write_parquet(os.path.join(out_dir, "was", "rows"))
-        tto_correlate(parsed).write_parquet(os.path.join(out_dir, "was", "tto"))
+        parsed.write_parquet(fresh_dir(os.path.join(out_dir, "was", "rows")))
+        tto_correlate(parsed).write_parquet(
+            fresh_dir(os.path.join(out_dir, "was", "tto")))
         # 01_WASLogSummaryRpt: the reference's top-10×8-dimension summary
         # plus hung/tto/starvation/OOM sections, rendered from the same
         # distributed aggregates (websphereLogParser.sh:440-900)
@@ -315,13 +323,16 @@ def run(
         # store; re-reading beats pinning the full line stream (what a
         # `.materialize()` of `raw` did) at any scale where it matters
         gc = parse_gc_lines(lines_for(FAMILIES["gc"])).materialize()
-        gc.write_parquet(os.path.join(out_dir, "gc", "rows"))
+        gc.write_parquet(fresh_dir(os.path.join(out_dir, "gc", "rows")))
         inv = parse_gc_invocations(
             reassemble_gc_blocks(lines_for(FAMILIES["gc"]))
         ).materialize()
         n_inv = int(inv.count())
+        # unconditional clear: a rerun whose corrected logs carry no
+        # multi-line blocks must drop the stale invocations too
+        inv_dir = fresh_dir(os.path.join(out_dir, "gc", "invocations"))
         if n_inv:
-            inv.write_parquet(os.path.join(out_dir, "gc", "invocations"))
+            inv.write_parquet(inv_dir)
         # 04_GCSummaryRpt: per-(jvm, date) × type aggregate + last record
         # per JVM (javaGCStatsParser.sh:455-541,556-622)
         gt = gc_summary_tables(gc if gc.count() else None,

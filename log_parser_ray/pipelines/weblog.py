@@ -641,6 +641,10 @@ def write_user_sessions(sessions: "ray.data.Dataset", out_dir: str) -> str | Non
                     rows += 1
     if rows == 0:
         os.remove(tmp)
+        # a rerun whose corrected logs show no sessions must also drop the
+        # previous run's file, or a stale report survives next to fresh ones
+        if os.path.exists(path):
+            os.remove(path)
         return None
     os.replace(tmp, path)
     return path
@@ -654,9 +658,14 @@ def _write_unknown_ua(out_dir: str) -> str | None:
     from log_parser_ray.pipelines.reports import _ordered_execution
 
     src = os.path.join(out_dir, "unknownua")
-    if not os.path.isdir(src) or not os.listdir(src):
-        return None
     path = os.path.join(out_dir, "WebAccessLogSummaryUnknowUARpt.csv")
+    if not os.path.isdir(src) or not any(
+            f.endswith(".parquet") for f in os.listdir(src)):
+        # every agent classified this run — also drop a previous run's file
+        # (rerun-into-same-out_dir replaces, never leaves stale reports)
+        if os.path.exists(path):
+            os.remove(path)
+        return None
     tmp = os.path.join(out_dir, ".tmp-WebAccessLogSummaryUnknowUARpt.csv")
     # ordered window + tmp/rename commit, like every other sorted stream
     with _ordered_execution():
@@ -690,8 +699,15 @@ def run(
     from --record-date; library callers can key history without filtering.
     """
     from log_parser_ray.sources.rawlogs import read_raw_logs
+    from log_parser_ray.state.manifest import fresh_dir
 
     os.makedirs(out_dir, exist_ok=True)
+    # clear the run-owned parquet sinks: a rerun over corrected logs must
+    # REPLACE the routed rows and the unknown-UA side sink, not accumulate
+    # stale content-named parts next to them (history.append_history gives
+    # the date-partitioned sinks the same contract)
+    fresh_dir(os.path.join(out_dir, "routed"))
+    fresh_dir(os.path.join(out_dir, "unknownua"))
     lines = read_raw_logs(paths, file_pattern=file_pattern)
     narrow = lines.map_batches(
         _parse_write_project,

@@ -92,6 +92,25 @@ class RunManifest:
             os.fsync(f.fileno())
 
 
+def fresh_dir(path: str) -> str:
+    """Clear-and-recreate a RUN-OWNED parquet sink directory.
+
+    The per-batch sink writers use content-derived part names, which makes
+    task RETRIES within one run idempotent — but across RUNS over changed
+    input the old parts' names never collide with the new ones, so a rerun
+    into the same out_dir would accumulate stale rows next to fresh ones
+    (ray.data.write_parquet's uuid-named files have the same property).
+    The reference regenerates every report file per run (`> file` awk
+    redirects, mv-commit at webAccessLogParser.sh:1518-1557); this is the
+    directory-shaped equivalent, applied at run start to each sink dir the
+    run is about to own."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def atomic_output_dir(final_dir: str):
     """Context manager: yields a temp dir, renames to final_dir on success.
 

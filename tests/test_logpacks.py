@@ -672,6 +672,48 @@ def test_whereuid_user_sessions_report(ray_session, tmp_path):
     assert res2["user_sessions_path"] is None
 
 
+def test_weblog_rerun_replaces_sinks(ray_session, tmp_path):
+    """A rerun into the same out_dir over CHANGED input REPLACES the routed
+    parquet sinks and the unknown-UA side sink — content-named parts are
+    idempotent only for task retries within one run; across runs the old
+    parts' names never collide, so without the run-start clear a corrected
+    day's rerun would read stale rows next to fresh ones."""
+    import pyarrow.dataset as pads
+
+    from log_parser_ray.pipelines import weblog
+
+    UA = ("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 "
+          "Firefox/38.0")
+
+    def line(n, ua=UA):
+        return (f'10.0.0.{n} - - [14/Jun/2015:10:00:{n:02d} -0500] '
+                f'"GET /app/x{n} HTTP/1.1" 200 12 JSESSIONID="0000S7X:cl1" '
+                f'UID="u{n}@e.com" 1000 1 2 "{ua}" web0')
+
+    logf = tmp_path / "access_log.1"
+    out = str(tmp_path / "rpt")
+    # first run: 6 rows, 2 of them unknown-UA
+    logf.write_text("\n".join(
+        [line(n) for n in range(4)]
+        + [line(n, ua="WeirdAgent/1.0") for n in (4, 5)]) + "\n")
+    res1 = weblog.run(str(tmp_path), out, file_pattern="access_log")
+    assert res1["total"] == 6
+    # corrected rerun: only 3 rows, none unknown
+    logf.write_text("\n".join(line(n) for n in range(10, 13)) + "\n")
+    res2 = weblog.run(str(tmp_path), out, file_pattern="access_log")
+    assert res2["total"] == 3
+    routed = pads.dataset(os.path.join(out, "routed"), format="parquet",
+                          partitioning="hive").to_table()
+    assert routed.num_rows == 3  # stale first-run parts replaced
+    # the unknown-UA sink cleared (first run had 2, rerun has none)
+    unk = os.path.join(out, "unknownua")
+    assert os.path.isdir(unk) and not any(
+        f.endswith(".parquet") for f in os.listdir(unk))
+    # the first run's UA review file dropped too (no unknowns in the rerun)
+    assert not os.path.exists(
+        os.path.join(out, "WebAccessLogSummaryUnknowUARpt.csv"))
+
+
 def test_write_user_sessions_multiblock_order(ray_session, tmp_path):
     """write_user_sessions renders a MULTI-block session table in global
     uid order: the iteration pins preserve_order for its execution window
