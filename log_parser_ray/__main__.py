@@ -88,6 +88,25 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     daily = args.rpttype == "daily"
+    if args.record_date:
+        # the reference validates -d as YYYY-MM-DD and rejects future dates
+        # (usage.sh:124-129 format egrep, :160-164 future-date check) — a
+        # usage error, not a traceback mid-run
+        import datetime as _dt
+        import re as _re
+
+        if not _re.fullmatch(r"[0-9]{4}-[0-1][0-9]-[0-3][0-9]",
+                             args.record_date):
+            ap.error(f"invalid --record-date {args.record_date!r}: "
+                     "use YYYY-MM-DD")
+        try:
+            _rd = _dt.date.fromisoformat(args.record_date)
+        except ValueError:
+            ap.error(f"invalid --record-date {args.record_date!r}: "
+                     "not a real calendar date")
+        if _rd > _dt.date.today():
+            ap.error(f"--record-date {args.record_date} is a future date; "
+                     "use the current or a previous date")
     if daily and not args.record_date:
         # the reference's default: a daily run without -d processes
         # yesterday's entries (usage.sh:31-33 "defaults to 'date - 1 day'")

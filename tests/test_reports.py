@@ -238,6 +238,21 @@ def test_master_daily_history_idempotent(ray_session, sf_dir, tmp_path):
     assert not os.path.isdir(os.path.join(str(tmp_path / "o4"), "history"))
 
 
+def test_cli_record_date_validation(sf_dir, tmp_path):
+    """The reference validates -d as YYYY-MM-DD and rejects future dates
+    with a usage error (usage.sh:124-129,160-164); so does --record-date."""
+    import pytest
+
+    from log_parser_ray.__main__ import main
+
+    base = ["--events-sf", sf_dir, "--out", str(tmp_path / "o")]
+    for bad in ("2024/01/05", "05-01-2024", "2024-13-01", "2024-02-31",
+                "9999-01-01"):
+        with pytest.raises(SystemExit) as ei:
+            main(base + ["--record-date", bad])
+        assert ei.value.code == 2  # argparse usage error, not a traceback
+
+
 def test_cli_record_date_daily(ray_session, sf_dir, tmp_path, capsys):
     """S1/M20: --record-date pushes a ts predicate to the parquet read;
     --rpttype daily appends idempotent per-date history (usage.sh:121-135)."""
