@@ -122,3 +122,27 @@ def test_localized_month_timestamps(ray_session, tmp_path):
     # all-English input returns the INPUT array unchanged (zero-copy no-op)
     eng = pa.array(["13/Jun/2015:10:32:04", "01/Dec/2015:00:00:00"])
     assert normalize_month_tokens(eng) is eng
+
+
+def test_binary_garbage_never_crashes(ray_session, tmp_path):
+    """Real log files carry occasional binary garbage (crash dumps, torn
+    writes): invalid UTF-8 and NUL bytes decode with errors='replace' and
+    route to the unparsed sink — the run never raises."""
+    import pyarrow.dataset as pads
+
+    from log_parser_ray.pipelines import weblog
+
+    logf = tmp_path / "access_log.bad"
+    logf.write_bytes(
+        b'10.0.0.1 - - [14/Jun/2015:10:00:00 -0500] "GET /x HTTP/1.1" 200 5 '
+        b'JSESSIONID="-" UID="u@e.com" 100 1 2 "UA" web0\n'
+        b"\x00\xff\xfe garbage \x80\x81 line\n"
+        b"more \xc3(\x28 invalid utf8\n"
+    )
+    res = weblog.run(str(tmp_path), str(tmp_path / "out"),
+                     file_pattern="access_log")
+    assert res["total"] == 1  # the one valid record parses
+    t = pads.dataset(str(tmp_path / "out" / "routed"), format="parquet",
+                     partitioning="hive").to_table()
+    sinks = sorted(t["sink"].to_pylist())
+    assert t.num_rows == 3 and sinks.count("unparsed") == 2
