@@ -1180,6 +1180,20 @@ def q_exact_dedup(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """Line-level boilerplate removal (RefinedWeb/CCNet line dedup): exact
+    lines occurring in >= 2 distinct docs are removed from every doc;
+    surviving lines re-join in order; all-boilerplate docs drop. On the
+    newline-free synthetic corpus each doc is one line, so the removed
+    "lines" are exactly the exact-duplicate doc texts — the SQL twin
+    computes the same census + anti-join + ordered re-join."""
+    out = ddp.line_dedup(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    )
+    return out.sort("doc_id")
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact n-gram(unigram)-Jaccard near-dup pairs via inverted index."""
     return ddp.jaccard_pairs(
@@ -1444,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_domain_daily_usage": q_access_domain_daily_usage,
         "was_err_cmp_ranking": q_was_err_cmp_ranking,
         "errlog_recycles": q_errlog_recycles,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2262,6 +2277,22 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)""",
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(split(text, chr(10))) AS line,
+                     generate_subscripts(split(text, chr(10)), 1) AS line_no
+              FROM documents),
+            boiler AS (
+              SELECT line FROM (
+                SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines
+                WHERE line <> '' GROUP BY line)
+              WHERE nd >= 2)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM lines
+            WHERE line NOT IN (SELECT line FROM boiler)
+            GROUP BY doc_id ORDER BY doc_id""",
         "minhash_near_dups": _minhash_near_dups_oracle(threshold=0.9),
         "minhash_clusters": _minhash_clusters_oracle(threshold=0.9),
         "curate_report": _curate_oracle(0.9, 20, 0.6),

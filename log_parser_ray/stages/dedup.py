@@ -936,3 +936,94 @@ def simhash_candidate_pairs(
     ).to_pandas()
     out = dedup[dedup["hamming"] <= max_hamming].sort_values(["a_id", "b_id"])
     return out.reset_index(drop=True)
+
+
+def line_dedup(
+    docs: "ray.data.Dataset",
+    min_docs: int = 2,
+) -> "ray.data.Dataset":
+    """Line-level boilerplate removal (the RefinedWeb / CCNet line-dedup
+    step): a line (split on ``\\n``, exact text) that occurs in at least
+    ``min_docs`` DISTINCT documents is boilerplate ("Share this article",
+    cookie banners, nav menus) and is removed from EVERY document; surviving
+    lines re-join in order. Documents whose every line was boilerplate drop
+    from the output (the SQL twin's GROUP BY does the same). Empty lines
+    never count as boilerplate. No reference analogue (the reference has
+    only whole-record set-dedup, SURVEY §2.7) — this is the LLM-pipeline
+    extension at sub-document granularity.
+
+    Scale shape: the explode is one in-task ``split_pattern`` + zero-copy
+    flatten; the boilerplate census is a two-phase distinct on
+    (line, doc_id) then a grouped count — shuffles move (line, id) pairs,
+    nothing else; removal is a distributed sort-merge ANTI join on the
+    exact line text (never a broadcast — the boilerplate table grows with
+    the corpus); reassembly is a group-safe per-doc pass (range sort on
+    doc_id, split groups coalesced). Nothing collects to the driver."""
+    from log_parser_ray.stages.aggregate import (
+        _mb,
+        group_safe_map,
+        grouped_count,
+        merge_join,
+        sorted_combine,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], "\n")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.cumsum(lens) - lens
+        line_no = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            starts, lens
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(parent),
+                "line_no": pa.array(line_no, pa.int64()),
+                "line": flat,
+            }
+        )
+
+    # materialize the exploded lines ONCE: both the census and the anti
+    # join consume them (a lazy chain would re-split every doc twice)
+    lines = _mb(docs.select_columns(["doc_id", "text"]), explode).materialize()
+
+    def census_partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.not_equal(t["line"], ""))
+        return (
+            pa.table({"line": sub["line"], "doc_id": sub["doc_id"]})
+            .group_by(["line", "doc_id"]).aggregate([])
+        )
+
+    distinct = sorted_combine(
+        _mb(lines, census_partial),
+        ["line", "doc_id"], [], keep=["line", "doc_id"],
+    )
+    boiler = _mb(
+        grouped_count(distinct, ["line"], alias="nd"),
+        lambda t: t.filter(
+            pc.greater_equal(t["nd"], min_docs)).select(["line"]),
+    )
+
+    kept = merge_join(
+        lines, boiler, on="line", how="left_anti",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("line_no", pa.int64()),
+             ("line", pa.string())]
+        ),
+        right_schema=pa.schema([("line", pa.string())]),
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("doc_id", "ascending"), ("line_no", "ascending")])
+        g = t.group_by(["doc_id"], use_threads=False).aggregate(
+            [("line", "list")]
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "text": pc.binary_join(g["line_list"], "\n"),
+            }
+        )
+
+    return group_safe_map(kept, ["doc_id"], reassemble)

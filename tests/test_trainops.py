@@ -656,3 +656,46 @@ def test_tokenless_docs_no_candidate_explosion(ray_session):
     lab = dict(zip(out["doc_id"], out["cluster_id"]))
     assert lab[4] == lab[5]
     assert len({lab[0], lab[1], lab[2], lab[3]}) == 4  # singletons
+
+
+def test_line_dedup_boilerplate_removal(ray_session):
+    """RefinedWeb-style line dedup: a line in >= 2 distinct docs is removed
+    from every doc, survivors re-join in order, all-boilerplate docs drop,
+    empty lines never count as boilerplate — vs a Python brute force, with
+    the docs split across blocks."""
+    import pandas as pd
+    import ray.data
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "unique one\nShare this article\nbody text A",
+            "different body\nShare this article\n\nmore",
+            "Share this article",            # all-boilerplate -> drops
+            "",                              # empty doc -> survives as ""
+            "solo line doc",
+            "twice\ntwice\nonly here",       # dup INSIDE one doc: kept
+        ],
+    })
+    out = (
+        ddp.line_dedup(ray.data.from_pandas(docs).repartition(4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    from collections import Counter
+
+    lines = [(d, i, l) for d, t in zip(docs.doc_id, docs.text)
+             for i, l in enumerate(t.split("\n"))]
+    nd = Counter()
+    for _, l in {(d, l) for d, _, l in lines if l != ""}:
+        nd[l] += 1
+    boiler = {l for l, c in nd.items() if c >= 2}
+    exp: dict[int, list[str]] = {}
+    for d, _, l in lines:
+        if l not in boiler:
+            exp.setdefault(d, []).append(l)
+    assert dict(zip(out.doc_id, out.text)) == {
+        d: "\n".join(ls) for d, ls in exp.items()
+    }
+    assert 3 not in set(out.doc_id)
+    assert out.set_index("doc_id").loc[6, "text"] == "twice\ntwice\nonly here"
