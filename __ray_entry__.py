@@ -1291,6 +1291,21 @@ def q_curate_report(sf_dir: str):
     )
 
 
+def q_hash_embeddings(sf_dir: str):
+    """The text embedder's integer core, oracle-checked: per doc the nonzero
+    feature-hash buckets and signed occurrence sums (md5 little-endian
+    64-bit prefix: bucket = h % 64 = low_byte % 64, sign = +1 iff the top
+    bit — byte 7 ≥ 128 — is set). This is exactly the vector HashEmbedder
+    L2-normalizes, so the embedder math is hash-exact against SQL; only the
+    float32 normalize remains test-pinned (text_knn stays rows-only)."""
+    from log_parser_ray.stages.embed import hash_features
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return hash_features(docs).sort(["doc_id", "bucket"])
+
+
 def q_text_knn(sf_dir: str):
     """Text → embedding (actor-pool feature hashing) → brute-force cosine
     top-5 per query doc (rows-only; embedder + kNN pinned by tests)."""
@@ -1459,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "was_err_cmp_ranking": q_was_err_cmp_ranking,
         "errlog_recycles": q_errlog_recycles,
         "line_dedup": q_line_dedup,
+        "hash_embeddings": q_hash_embeddings,
     }
 
 
@@ -2324,6 +2340,23 @@ def oracle_sql() -> dict[str, str]:
               FROM bits GROUP BY doc_id)
             SELECT d.doc_id, COALESCE(f.simhash, '0000000000000000') AS simhash
             FROM documents d LEFT JOIN fp f USING (doc_id)""",
+        "hash_embeddings": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS w
+              FROM documents),
+            hx AS (SELECT printf('%02x', r) AS h2, r AS v FROM range(256) t(r)),
+            slot AS (
+              SELECT t.doc_id,
+                     CAST(b0.v % 64 AS BIGINT) AS bucket,
+                     CASE WHEN b7.v >= 128 THEN 1 ELSE -1 END AS s
+              FROM (SELECT doc_id, md5(w) AS h FROM tok) t
+              JOIN hx b0 ON b0.h2 = substr(t.h, 1, 2)
+              JOIN hx b7 ON b7.h2 = substr(t.h, 15, 2))
+            SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS val
+            FROM slot GROUP BY doc_id, bucket
+            HAVING SUM(s) <> 0
+            ORDER BY doc_id, bucket""",
         "jaccard_pairs": f"""
             WITH tok AS (
               SELECT DISTINCT doc_id,

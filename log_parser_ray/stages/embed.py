@@ -77,3 +77,40 @@ def embed_documents(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def hash_features(
+    docs: "ray.data.Dataset", *, dim: int = EMBED_DIM
+) -> "ray.data.Dataset":
+    """The embedder's integer core as an oracle-checkable table: per doc the
+    NONZERO feature-hash buckets and their signed occurrence sums — exactly
+    the vector ``HashEmbedder.__call__`` L2-normalizes (same md5 slot rule:
+    bucket = h % dim, sign = +1 iff the top bit of the little-endian 64-bit
+    prefix is set). Distributed map over batches; no shuffle — each doc's
+    tokens stay inside its row."""
+    from log_parser_ray.stages.textops import _explode_terms
+
+    embedder = HashEmbedder(dim=dim)
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts = np.zeros((t.num_rows, dim), dtype=np.int64)
+        flat, parent = _explode_terms(t)
+        if len(flat):
+            toks = flat.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            slots = np.array(
+                [embedder._slot(u) for u in uniq], dtype=np.int64
+            )
+            np.add.at(counts, (parent, slots[inv, 0]), slots[inv, 1])
+        rows, buckets = np.nonzero(counts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(rows)),
+                "bucket": pa.array(buckets.astype(np.int64)),
+                "val": pa.array(counts[rows, buckets]),
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

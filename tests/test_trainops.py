@@ -699,3 +699,35 @@ def test_line_dedup_boilerplate_removal(ray_session):
     }
     assert 3 not in set(out.doc_id)
     assert out.set_index("doc_id").loc[6, "text"] == "twice\ntwice\nonly here"
+
+
+def test_hash_features_match_embedder(ray_session):
+    """hash_features is EXACTLY the integer vector HashEmbedder normalizes:
+    scattering (bucket, val) into a dense vector and L2-normalizing must
+    reproduce the embedding bit-for-bit (same float32 path)."""
+    import pandas as pd
+    import ray.data
+
+    from log_parser_ray.stages.embed import (
+        EMBED_DIM,
+        embed_documents,
+        hash_features,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the quick brown fox", "the the the", "", "fox fox jumps"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    feats = hash_features(ds).to_pandas()
+    embs = embed_documents(ds, batch_size=2).to_pandas()
+    emb = {d: np.asarray(e, dtype=np.float32)
+           for d, e in zip(embs["doc_id"], embs["embedding"])}
+    for d in docs.doc_id:
+        dense = np.zeros(EMBED_DIM, dtype=np.float32)
+        sub = feats[feats["doc_id"] == d]
+        dense[sub["bucket"].to_numpy()] = sub["val"].to_numpy()
+        n = np.linalg.norm(dense.reshape(1, -1), axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        dense = (dense.reshape(1, -1) / n)[0]
+        assert np.array_equal(dense, emb[d]), f"doc {d}"
