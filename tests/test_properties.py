@@ -99,3 +99,44 @@ def test_routing_is_total_partition(ray_session, texts):
     sinks = out["sink"].to_pylist()
     assert len(sinks) == n
     assert all(s in SINKS for s in sinks)
+
+
+docs_st = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "Share this", "", "x y z", "tail"]),
+        min_size=0, max_size=5,
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@_slow
+@given(line_lists=docs_st)
+def test_line_dedup_matches_bruteforce(ray_session, line_lists):
+    """line_dedup equals the serial census+filter+rejoin on arbitrary
+    doc/line combinations (any duplication pattern, empty lines, empty
+    docs), across forced block splits."""
+    from collections import Counter
+
+    from log_parser_ray.stages.dedup import line_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(len(line_lists))),
+        "text": ["\n".join(ls) for ls in line_lists],
+    })
+    out = (
+        line_dedup(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+    )
+    lines = [(d, l) for d, t in zip(docs.doc_id, docs.text)
+             for l in t.split("\n")]
+    nd = Counter()
+    for _, l in {(d, l) for d, l in lines if l != ""}:
+        nd[l] += 1
+    boiler = {l for l, c in nd.items() if c >= 2}
+    exp = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        kept = [l for l in t.split("\n") if l not in boiler]
+        if kept:
+            exp[d] = "\n".join(kept)
+    assert dict(zip(out["doc_id"], out["text"])) == exp
