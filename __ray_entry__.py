@@ -1409,7 +1409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "was_recycles": q_was_recycles,
         # -- dedup / similarity family
         "exact_dedup": q_exact_dedup,
-        "minhash_near_dups": q_minhash_near_dups,
+        # line_dedup rotated INTO the driver window (the r4-endorsed
+        # practice): minhash_near_dups' pair+verify machinery is exercised
+        # by minhash_clusters below, so the slot buys a NEW dedup surface
+        "line_dedup": q_line_dedup,
         "minhash_clusters": q_minhash_clusters,
         "cosine_near_dups": q_cosine_near_dups,
         "knn_cosine": q_knn_cosine,
@@ -1473,7 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "access_domain_daily_usage": q_access_domain_daily_usage,
         "was_err_cmp_ranking": q_was_err_cmp_ranking,
         "errlog_recycles": q_errlog_recycles,
-        "line_dedup": q_line_dedup,
+        "minhash_near_dups": q_minhash_near_dups,
         "hash_embeddings": q_hash_embeddings,
     }
 
