@@ -123,3 +123,25 @@ def test_parallelism_invariance(ray_session, sf_dir, tmp_path):
 
     for key in ("sink_counts", "conv_category", "hourly", "topk_slow", "alerts"):
         pd.testing.assert_frame_equal(frame(r1[key]), frame(r16[key]))
+
+
+def test_flagship_rerun_replaces_sinks(ray_session, sf_dir, tmp_path):
+    """A flagship rerun into the same out_dir over a SMALLER input replaces
+    the routed sinks and alerts (fresh_dir at run start) — consumers never
+    read the first run's stale parts next to the new ones."""
+    import pyarrow.dataset as pads
+
+    from log_parser_ray.pipelines import flagship
+    from log_parser_ray.sources.transcripts import transcripts_from_events
+
+    tr = transcripts_from_events(sf_dir)
+    out = str(tmp_path / "rr")
+    r1 = flagship.run(tr, out, enrich_concurrency=2)
+    half = tr.count() // 2
+    r2 = flagship.run(tr.limit(half), out, enrich_concurrency=2)
+    assert r1["rows"] > r2["rows"] == half
+    routed = pads.dataset(
+        out, format="parquet", partitioning="hive",
+        ignore_prefixes=[".", "_", "alerts", "history"],
+    ).to_table()
+    assert routed.num_rows == half  # first run's parts replaced
