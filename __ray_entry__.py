@@ -1291,6 +1291,25 @@ def q_curate_report(sf_dir: str):
     )
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) in its exactness regime: n_clusters=1
+    makes the within-cluster prune a GLOBAL cosine anti-join (smaller-id
+    neighbor at sim >= 0.4 ⇒ dropped), so the brute-force pair SQL is an
+    exact twin — the knn_ivf_exhaustive pattern. The clustered path
+    (n_clusters>1) is pinned by tests against an in-process brute force."""
+    return sim.semantic_dedup(_embeddings(sf_dir), n_clusters=1, threshold=0.4)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (arXiv:2302.03169): hashed unigram+bigram
+    bag models (target = lang 'en' docs, raw = all), per-doc log-ratio
+    weight, deterministic top-100 selection. md5-hex buckets — hash-exact
+    vs the SQL twin."""
+    from log_parser_ray.stages.dsir import dsir_weights
+
+    return dsir_weights(_documents(sf_dir), target_lang="en", k=100)
+
+
 def q_hash_embeddings(sf_dir: str):
     """The text embedder's integer core, oracle-checked: per doc the nonzero
     feature-hash buckets and signed occurrence sums (md5 little-endian
@@ -1478,6 +1497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "errlog_recycles": q_errlog_recycles,
         "minhash_near_dups": q_minhash_near_dups,
         "hash_embeddings": q_hash_embeddings,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2383,6 +2404,60 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        # SemDeDup exactness regime (n_clusters=1): the within-cluster prune
+        # degenerates to a global anti-join — kept iff NO smaller-id vector
+        # sits at cosine >= threshold (min-id survivor, like exact_dedup)
+        "semantic_dedup": """
+            SELECT v.vec_id, CAST(0 AS BIGINT) AS cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM embeddings u
+                     WHERE u.vec_id < v.vec_id
+                       AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                                                  CAST(v.embedding AS DOUBLE[])) >= 0.4
+                   ) AS kept
+            FROM embeddings v""",
+        # DSIR (arXiv:2302.03169) full SQL twin: hashed unigram+bigram bag
+        # models (bucket = first 4 md5 hex chars — the sample_by_hash idiom),
+        # add-0.5 smoothing over the 65,536-bucket space, ln-ratio sum per
+        # doc, deterministic top-100 under (weight DESC, doc_id). Weights
+        # round_even(6) BEFORE ranking on both engines.
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM toks),
+            pos AS (
+              SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+              FROM toks),
+            bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM pos),
+            grams AS (
+              SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+            bk AS (SELECT doc_id, substr(md5(g), 1, 4) AS b FROM grams),
+            tgt AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS tn
+              FROM bk JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en' GROUP BY b),
+            rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM bk GROUP BY b),
+            tot AS (SELECT
+              (SELECT COUNT(*) FROM bk JOIN documents d USING (doc_id)
+               WHERE d.lang = 'en') AS t_total,
+              (SELECT COUNT(*) FROM bk) AS r_total),
+            lr AS (
+              SELECT r.b,
+                     ln((COALESCE(t.tn, 0) + 0.5) / (tot.t_total + 0.5 * 65536))
+                   - ln((r.rn + 0.5) / (tot.r_total + 0.5 * 65536)) AS lr
+              FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+            w AS (
+              SELECT bk.doc_id, round_even(SUM(lr.lr), 6) AS weight
+              FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
+            allw AS (
+              SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
+              FROM documents d LEFT JOIN w USING (doc_id)),
+            rk AS (
+              SELECT doc_id, weight,
+                     row_number() OVER (ORDER BY weight DESC, doc_id) AS rn
+              FROM allw)
+            SELECT doc_id, weight, rn <= 100 AS selected FROM rk""",
         "knn_cosine": """
             SELECT query_id, vec_id, round_even(sim, 6) AS sim FROM (
               SELECT query_id, vec_id, sim,

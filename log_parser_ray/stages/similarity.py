@@ -408,3 +408,112 @@ def load_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return t["vec_id"].to_numpy(), _to_matrix(t["embedding"])
+
+
+def semantic_dedup(
+    emb: "ray.data.Dataset",
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    sample_target: int = 20_000,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): k-means-cluster the
+    embeddings with the sampled coarse quantizer, then WITHIN each cluster
+    drop every vector that has a smaller-id neighbor at cosine >=
+    threshold. Survivor choice is deterministic min-vec_id (the anti-join
+    variant of the paper's greedy keep-one rule — same idiom as
+    dedup.exact_dedup), so the result is independent of block layout and
+    parallelism. Output: (vec_id, cluster, kept).
+
+    Scale shape: the quantizer fit touches only a bounded md5-bucket sample
+    (kmeans_fit_sampled); assignment is one matmul map over the stream; the
+    only shuffle is groupby(cluster) over (cluster, vec_id, unit-vec bytes)
+    rows; the per-cluster O(c^2) similarity matrix is the SemDeDup design
+    itself — n_clusters grows with the corpus precisely so each cluster
+    stays bounded (the paper uses ~100k clusters for LAION-scale).
+
+    ``n_clusters=1`` is the exactness regime: a single cluster makes the
+    prune identical to a GLOBAL cosine near-dup anti-join, which has a
+    brute-force SQL twin (the knn_ivf_exhaustive pattern) — that regime is
+    the oracle entry; the clustered path is pinned by tests against an
+    in-process brute force.
+    """
+    centroids = (
+        kmeans_fit_sampled(
+            emb, n_clusters=n_clusters, sample_target=sample_target,
+            n_iter=n_iter, seed=seed,
+        )
+        if n_clusters > 1
+        else None
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = _to_matrix(t["embedding"])
+        if centroids is None:
+            cells = np.zeros(len(ids), dtype=np.int64)
+        else:
+            # Euclidean argmin, the same expansion kmeans_fit assigns with
+            m_sq = (m * m).sum(axis=1, keepdims=True)
+            d = (
+                m_sq
+                + (centroids * centroids).sum(axis=1)[None, :]
+                - 2.0 * (m @ centroids.T)
+            )
+            cells = d.argmin(axis=1).astype(np.int64)
+        u = _normalize(m)
+        payload = [u[i].tobytes() for i in range(len(ids))]
+        return pa.table(
+            {
+                "cluster": pa.array(cells, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "vec": pa.array(payload, pa.binary()),
+            }
+        )
+
+    rows = emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def prune(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.bool_()),
+                }
+            )
+        cl = b["cluster"].to_numpy(zero_copy_only=False)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        raw = b["vec"].to_pylist()
+        order = np.lexsort((ids, cl))
+        cl, ids = cl[order], ids[order]
+        vecs = np.vstack([np.frombuffer(raw[i], np.float64) for i in order])
+        kept = np.ones(n, dtype=bool)
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        for s, e in zip(starts, ends):
+            c = e - s
+            if c < 2:
+                continue
+            m = vecs[s:e]
+            sims = m @ m.T
+            # ids[s:e] ascend (lexsort) — "smaller-id neighbor" = strict
+            # lower triangle
+            hit = sims >= threshold
+            hit &= np.tril(np.ones((c, c), dtype=bool), -1)
+            kept[s:e] = ~hit.any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "kept": pa.array(kept),
+            }
+        )
+
+    from log_parser_ray.stages.aggregate import group_safe_map
+
+    return group_safe_map(rows, ["cluster"], prune)

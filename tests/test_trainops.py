@@ -731,3 +731,138 @@ def test_hash_features_match_embedder(ray_session):
         n[n == 0] = 1.0
         dense = (dense.reshape(1, -1) / n)[0]
         assert np.array_equal(dense, emb[d]), f"doc {d}"
+
+
+def _semantic_brute(m: np.ndarray, cells: np.ndarray, threshold: float) -> np.ndarray:
+    """kept flags (by vec_id order) for the within-cluster smaller-id rule."""
+    u = sim._normalize(m.astype(np.float64))
+    n = len(u)
+    kept = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(i):
+            if cells[i] == cells[j] and float(u[i] @ u[j]) >= threshold:
+                kept[i] = False
+                break
+    return kept
+
+
+def test_semantic_dedup_exhaustive_matches_bruteforce(ray_session):
+    """n_clusters=1 (the oracle regime) equals a global cosine anti-join."""
+    rs = np.random.RandomState(7)
+    base = rs.standard_normal((6, 8))
+    # rows 6..11 are near-copies of rows 0..5 (tiny perturbation)
+    m = np.vstack([base, base + rs.standard_normal((6, 8)) * 1e-3])
+    out = (
+        sim.semantic_dedup(emb_ds(m), n_clusters=1, threshold=0.95)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # float32 storage (emb_ds) — brute force must see the same values
+    kept_bf = _semantic_brute(
+        m.astype(np.float32).astype(np.float64), np.zeros(len(m)), 0.95
+    )
+    assert (out["cluster"] == 0).all()
+    np.testing.assert_array_equal(out["kept"].to_numpy(), kept_bf)
+    # the near-copies (ids 6..11) all dropped, their min-id originals kept
+    assert not out.loc[6:, "kept"].any()
+    assert out.loc[:5, "kept"].all()
+
+
+def test_semantic_dedup_clustered_vs_bruteforce(ray_session):
+    """The clustered path prunes ONLY within a cluster, with the same
+    smaller-id rule, and is invariant to block layout."""
+    rs = np.random.RandomState(11)
+    centers = rs.standard_normal((3, 8)) * 6
+    m = np.vstack([c + rs.standard_normal((40, 8)) * 0.5 for c in centers])
+    ds = emb_ds(m)
+    thr = 0.9
+    out = (
+        sim.semantic_dedup(ds, n_clusters=3, sample_target=1000, threshold=thr)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # reproduce the assignment with the same deterministic fit
+    cents = sim.kmeans_fit_sampled(ds, n_clusters=3, sample_target=1000)
+    mf = m.astype(np.float32).astype(np.float64)
+    d = (
+        (mf * mf).sum(axis=1, keepdims=True)
+        + (cents * cents).sum(axis=1)[None, :]
+        - 2.0 * (mf @ cents.T)
+    )
+    cells = d.argmin(axis=1)
+    np.testing.assert_array_equal(out["cluster"].to_numpy(), cells)
+    np.testing.assert_array_equal(
+        out["kept"].to_numpy(), _semantic_brute(mf, cells, thr)
+    )
+    # block-layout invariance
+    out2 = (
+        sim.semantic_dedup(emb_ds(m).repartition(11), n_clusters=3,
+                           sample_target=1000, threshold=thr)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dsir_weights_vs_bruteforce(ray_session):
+    """DSIR hashed-ngram importance weights equal a serial Python
+    re-derivation (same md5 buckets, smoothing, rounding), gram-less docs
+    weigh 0.0, and selection is the deterministic top-k."""
+    import hashlib
+    import re as _re
+
+    from log_parser_ray.stages import dsir
+
+    texts = [
+        "spark shuffle partitions and arrow batches",
+        "the quick brown fox jumps over the lazy dog",
+        "arrow batches stream through the object store",
+        "",  # gram-less
+        "le renard brun rapide saute par dessus le chien",
+        "the lazy dog sleeps near the river bank",
+    ]
+    langs = ["en", "en", "en", "en", "fr", "en"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": langs,
+            }
+        )
+    ).repartition(3)
+    k = 3
+    out = (
+        dsir.dsir_weights(ds, target_lang="en", k=k)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def grams(text):
+        ws = _re.findall(r"[a-z0-9]+", text.lower())
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+
+    N, A = dsir.N_BUCKETS, dsir.ALPHA
+    tgt = np.zeros(N, np.int64)
+    raw = np.zeros(N, np.int64)
+    per_doc = []
+    for txt, lg in zip(texts, langs):
+        bs = [bucket(g) for g in grams(txt)]
+        per_doc.append(bs)
+        for b in bs:
+            raw[b] += 1
+            if lg == "en":
+                tgt[b] += 1
+    lr = np.log((tgt + A) / (tgt.sum() + A * N)) - np.log(
+        (raw + A) / (raw.sum() + A * N)
+    )
+    w = np.array([round(float(sum(lr[b] for b in bs)), 6) for bs in per_doc])
+    np.testing.assert_array_equal(out["weight"].to_numpy(), w)
+    assert out.loc[3, "weight"] == 0.0
+    want_sel = set(sorted(range(len(w)), key=lambda i: (-w[i], i))[:k])
+    assert set(out.loc[out["selected"], "doc_id"]) == want_sel
+    # block-layout invariance
+    out2 = (
+        dsir.dsir_weights(ds.repartition(6), target_lang="en", k=k)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
