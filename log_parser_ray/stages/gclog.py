@@ -183,52 +183,94 @@ def reassemble_gc_blocks(lines: "ray.data.Dataset") -> "ray.data.Dataset":
     GC invocations=` to the next `}` line within one conversation (= one
     file/JVM); unterminated trailing blocks are dropped, mirroring the
     reference's per-file last-record handling."""
-    import pandas as pd
-
-    from log_parser_ray.stages.sessions import _per_conv_blocks
+    from log_parser_ray.stages.aggregate import group_safe_map
 
     keep = lines.select_columns(["conv_id", "turn_idx", "text"])
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "conv_id": pd.Series([], dtype=object),
-            "start_turn": pd.Series([], dtype="int64"),
-            "payload": pd.Series([], dtype=object),
+            "conv_id": pa.array([], pa.string()),
+            "start_turn": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.string()),
         }
     )
 
-    def assemble(g: "pd.DataFrame") -> "pd.DataFrame":
+    def assemble(t: pa.Table) -> pa.Table:
         # Vectorized segmentation (the awk state machine's block structure is
         # a cumulative sum): block id = running count of BEGIN markers per
         # conv; a block's rows run from its BEGIN to its FIRST `}` line; a
         # BEGIN before the previous block's `}` implicitly drops the
         # unterminated block (its rows get a new bid), and a trailing block
-        # with no `}` drops (null end position) — identical semantics to the
-        # reference's per-file carry-over handling.
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
-        text = g["text"].fillna("")
-        is_b = text.str.startswith(GC_BLOCK_BEGIN)
-        g["_bid"] = is_b.groupby(g["conv_id"], sort=False).cumsum()
-        g = g[g["_bid"] > 0]
-        if not len(g):
-            return empty.copy()
-        text = g["text"].fillna("")
-        pos = pd.Series(np.arange(len(g)), index=g.index)
-        is_e = text.str.startswith(GC_BLOCK_END)
-        key = [g["conv_id"], g["_bid"]]
-        end_pos = pos.where(is_e).groupby(key, sort=False).transform("min")
-        g = g[pos <= end_pos]  # NaN end (unterminated) compares False → drop
-        if not len(g):
-            return empty.copy()
-        out = (
-            g.groupby(["conv_id", "_bid"], sort=False)
-            .agg(start_turn=("turn_idx", "first"), payload=("text", "\n".join))
-            .reset_index()
+        # with no `}` drops — identical semantics to the reference's
+        # per-file carry-over handling. Pure numpy/arrow kernels: the
+        # payload concatenation is ONE pc.binary_join over a ListArray (the
+        # per-group Python "\n".join this replaces was ~2 s per million
+        # lines).
+        n = t.num_rows
+        if n == 0:
+            return empty
+        enc = t["conv_id"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        codes_s, turn_s = codes[order], turn[order]
+        text = pc.fill_null(t["text"].combine_chunks(), "").take(
+            pa.array(order, pa.int64())
         )
-        out["start_turn"] = out["start_turn"].astype("int64")
-        return out[["conv_id", "start_turn", "payload"]]
+        is_b = pc.starts_with(text, GC_BLOCK_BEGIN).to_numpy(zero_copy_only=False)
+        # per-conv 1-based running BEGIN count (0 before a conv's first BEGIN)
+        conv_start = np.flatnonzero(
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        )
+        cumb = np.cumsum(is_b)
+        base = np.repeat(
+            cumb[conv_start] - is_b[conv_start],
+            np.diff(np.append(conv_start, n)),
+        )
+        bid = cumb - base
+        idx = np.flatnonzero(bid > 0)
+        if not len(idx):
+            return empty
+        codes_k, bid_k, turn_k = codes_s[idx], bid[idx], turn_s[idx]
+        text_k = text.take(pa.array(idx, pa.int64()))
+        is_e = pc.starts_with(text_k, GC_BLOCK_END).to_numpy(zero_copy_only=False)
+        # (conv, bid) groups are contiguous runs after the lexsort
+        gstart = np.flatnonzero(
+            np.concatenate(
+                ([True], (codes_k[1:] != codes_k[:-1]) | (bid_k[1:] != bid_k[:-1]))
+            )
+        )
+        m = len(idx)
+        pos = np.arange(m)
+        big = np.iinfo(np.int64).max
+        end_g = np.minimum.reduceat(np.where(is_e, pos, big), gstart)
+        surv = end_g != big  # groups with no `}` drop whole
+        if not surv.any():
+            return empty
+        starts_s, ends_s = gstart[surv], end_g[surv] + 1
+        lens = ends_s - starts_s
+        # kept rows per group = BEGIN..first `}` inclusive; concatenated
+        # ranges via the repeat-offset identity (no per-group Python loop)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        flat = np.arange(offsets[-1]) + np.repeat(starts_s - offsets[:-1], lens)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                text_k.take(pa.array(flat, pa.int64())),
+            ),
+            "\n",
+        )
+        return pa.table(
+            {
+                "conv_id": enc.dictionary.take(
+                    pa.array(codes_k[starts_s], pa.int64())
+                ),
+                "start_turn": pa.array(turn_k[starts_s], pa.int64()),
+                "payload": joined,
+            }
+        )
 
-    return _per_conv_blocks(keep, assemble)
+    return group_safe_map(keep, ["conv_id"], assemble)
 
 
 def parse_gc_invocations(blocks: "ray.data.Dataset") -> "ray.data.Dataset":
