@@ -66,38 +66,36 @@ def _compose(batch: pa.Table) -> pa.Table:
     def j(*parts):
         return pc.binary_join_element_wise(*parts, "")
 
-    method = np.where(eid % 6 == 0, "POST", np.where(eid % 6 == 1, "HEAD", "GET"))
-    tok1 = np.where(eid % 17 == 0, np.char.add("p=1&q=2", method), method)
+    def case(conds, *vals):
+        struct = pa.StructArray.from_arrays(
+            [pa.array(c) for c in conds],
+            names=[str(i) for i in range(len(conds))],
+        )
+        return pc.case_when(struct, *vals)
+
+    method = case([eid % 6 == 0, eid % 6 == 1], "POST", "HEAD", "GET")
+    tok1 = pc.if_else(pa.array(eid % 17 == 0), j("p=1&q=2", method), method)
 
     v = eid % 5
-    item = np.char.add(
-        np.char.add("/app/pages/item", (eid % 20).astype(str)), ".jsp"
-    )
-    qsuffix = np.char.add("/app/search?q=term", (eid % 7).astype(str))
-    uri_full = np.select(
+    uri_full = case(
         [v == 0, v == 1, v == 2, v == 3],
-        ["/", "/favicon.ico", item, qsuffix],
-        default="/svc/api/data",
+        "/", "/favicon.ico",
+        j("/app/pages/item", istr(eid % 20), ".jsp"),
+        j("/app/search?q=term", istr(eid % 7)),
+        "/svc/api/data",
     )
 
-    resp = np.where(value >= 100.0, "503", np.where(value >= 50.0, "404", "200"))
-    jraw = np.where(
-        eid % 11 == 0,
-        "-",
-        np.char.add(
-            np.char.add("0000S", uidn.astype(str)),
-            np.char.add("X:cl", (uidn % 4).astype(str)),
-        ),
+    resp = case([value >= 100.0, value >= 50.0], "503", "404", "200")
+    jraw = pc.if_else(
+        pa.array(eid % 11 == 0), "-",
+        j("0000S", istr(uidn), "X:cl", istr(uidn % 4)),
     )
-    uid = np.where(
-        eid % 13 == 0, "-", np.char.add(np.char.add("u", uidn.astype(str)), "@example.com")
+    uid = pc.if_else(
+        pa.array(eid % 13 == 0), "-", j("u", istr(uidn), "@example.com")
     )
-    ua = np.array(UA_LIST, dtype=object)[eid % 8]
-    websrvr = np.char.add("web", (uidn % 4).astype(str))
-    client = np.char.add(
-        np.char.add("10.0.", (uidn % 256).astype(str)),
-        np.char.add(".", (eid % 256).astype(str)),
-    )
+    ua = pa.array(UA_LIST, pa.string()).take(pa.array(eid % 8))
+    websrvr = j("web", istr(uidn % 4))
+    client = j("10.0.", istr(uidn % 256), ".", istr(eid % 256))
     rt_us = np.round(value * 1_000_000.0).astype(np.int64)
 
     # Arrow's %S renders fractional seconds for timestamp[us]; truncate to
@@ -107,12 +105,12 @@ def _compose(batch: pa.Table) -> pa.Table:
     )
     dtm = pc.strftime(ts_s, format="%d/%b/%Y:%H:%M:%S")
     line = j(
-        istr(client), " - - [", dtm, " -0500] \"",
-        istr(tok1), " ", istr(uri_full), " HTTP/1.1\" ",
-        istr(resp), " ", istr(eid % 9000),
-        " JSESSIONID=\"", istr(jraw), "\" UID=\"", istr(uid), "\" ",
+        client, " - - [", dtm, " -0500] \"",
+        tok1, " ", uri_full, " HTTP/1.1\" ",
+        resp, " ", istr(eid % 9000),
+        " JSESSIONID=\"", jraw, "\" UID=\"", uid, "\" ",
         istr(rt_us), " ", istr(eid % 5000), " ", istr(eid % 7000),
-        " \"", pa.array(list(ua), pa.string()), "\" ", istr(websrvr),
+        " \"", ua, "\" ", websrvr,
     )
     return pa.table({"line_id": pa.array(eid, pa.int64()), "text": line})
 

@@ -62,18 +62,7 @@ def _compose(batch: pa.Table) -> pa.Table:
     uidn = batch["user_id"].to_numpy()
 
     ts_s = pc.cast(pc.floor_temporal(batch["ts"], unit="second"), pa.timestamp("s"))
-    dtm = pc.strftime(ts_s, format="%a %b %d %H:%M:%S %Y").to_numpy(zero_copy_only=False)
-    srv = np.char.add("ihs", (uidn % 4).astype(str))
-
-    is_err = eid % 2 == 0
-    evt = np.where(eid % 4 == 0, "error", "warn")
-    client = np.char.add(
-        np.char.add("10.0.", (uidn % 256).astype(str)),
-        np.char.add(".", (eid % 256).astype(str)),
-    )
-
-    def s(a):
-        return pa.array(list(a), pa.string())
+    dtm = pc.strftime(ts_s, format="%a %b %d %H:%M:%S %Y")
 
     def istr(a):
         return pc.cast(pa.array(a), pa.string())
@@ -81,13 +70,18 @@ def _compose(batch: pa.Table) -> pa.Table:
     def j(*parts):
         return pc.binary_join_element_wise(*parts, "")
 
+    srv = j("ihs", istr(uidn % 4))
+    is_err = eid % 2 == 0
+    evt = pc.if_else(pa.array(eid % 4 == 0), "error", "warn")
+    client = j("10.0.", istr(uidn % 256), ".", istr(eid % 256))
+
     err_line = j(
-        s(srv), " [", s(dtm), "] [", s(evt), "] [client ", s(client), "] E",
+        srv, " [", dtm, "] [", evt, "] [client ", client, "] E",
         istr(eid % 50), ": lookup failed, referer: http://site/p",
         istr(eid % 20),
     )
     rdy_line = j(
-        s(srv), " [", s(dtm), "] [notice] mpmstats: rdy ", istr(eid % 50),
+        srv, " [", dtm, "] [notice] mpmstats: rdy ", istr(eid % 50),
         " bsy ", istr(eid % 20), " rd ", istr(eid % 5), " wr ", istr(eid % 7),
         " ka ", istr(eid % 3), " log ", istr(eid % 2), " dns ", istr(eid % 11),
         " cls ", istr(eid % 13),
@@ -110,8 +104,10 @@ def _compose(batch: pa.Table) -> pa.Table:
         pc.binary_join_element_wise(a_part, b_part, ", "),
         pc.binary_join_element_wise(b_part, a_part, ", "),
     )
+    mask_bsy = pa.array(has_bsy)
     bsy_line = j(
-        s(srv[has_bsy]), " [", s(dtm[has_bsy]), "] [notice] bsy: ", body
+        srv.filter(mask_bsy), " [", dtm.filter(mask_bsy),
+        "] [notice] bsy: ", body
     )
     bsy = pa.table(
         {"line_id": pa.array(bi * 2 + 1, pa.int64()), "text": bsy_line}
@@ -120,8 +116,9 @@ def _compose(batch: pa.Table) -> pa.Table:
     # occasional IHS restart notices (the err branch leaves eid*2+1 free)
     has_rcy = is_err & (eid % 40 == 0)
     ri = eid[has_rcy]
+    mask_rcy = pa.array(has_rcy)
     rcy_line = j(
-        s(srv[has_rcy]), " [", s(dtm[has_rcy]),
+        srv.filter(mask_rcy), " [", dtm.filter(mask_rcy),
         "] [notice] IBM_HTTP_Server/8.5.5.0 (Unix) configured -- "
         "resuming normal operations",
     )

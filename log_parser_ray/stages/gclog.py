@@ -105,24 +105,21 @@ def parse_gc_lines(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def _compose(batch: pa.Table) -> pa.Table:
     eid = batch["event_id"].to_numpy()
     uidn = batch["user_id"].to_numpy()
-    jvm = np.char.add("jvm", (uidn % 4).astype(str))
-    full = eid % 5 == 0
-    typ = np.where(full, "Full GC", "GC")
-    seg = np.where(full, "ParOldGen", "PSYoungGen")
-    unit = np.array(["K", "M", "G"], dtype=object)[eid % 3]
-    b = eid % 10000 + 16
-    a = eid % 3000 + 8
-    t = 16384
-    def s(arr):
-        return pa.array(list(arr), pa.string())
 
     def istr(arr):
         return pc.cast(pa.array(arr), pa.string())
 
-    u = s(unit)
+    jvm = pc.binary_join_element_wise("jvm", istr(uidn % 4), "")
+    full = pa.array(eid % 5 == 0)
+    typ = pc.if_else(full, "Full GC", "GC")
+    seg = pc.if_else(full, "ParOldGen", "PSYoungGen")
+    u = pa.array(["K", "M", "G"], pa.string()).take(pa.array(eid % 3))
+    b = eid % 10000 + 16
+    a = eid % 3000 + 8
+    t = 16384
     frac = pc.utf8_lpad(istr(eid % 10_000_000), 7, "0")
     line = pc.binary_join_element_wise(
-        s(jvm), " [", s(typ), " [", s(seg), ": ", istr(b), u, "->", istr(a), u,
+        jvm, " [", typ, " [", seg, ": ", istr(b), u, "->", istr(a), u,
         "(", istr(np.full(len(eid), t)), u, ")] 0.", frac, " secs]", "",
     )
     return pa.table({"line_id": pa.array(eid, pa.int64()), "text": line})

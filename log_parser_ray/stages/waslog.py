@@ -121,10 +121,6 @@ def tto_correlate(parsed: "ray.data.Dataset") -> "ray.data.Dataset":
     return group_safe_map(keep, ["srv", "thread"], fn, batch_format="pandas")
 
 
-# uidn%16 has 16 values — a module-level lookup table replaces the per-row
-# f-string in the synth composer
-_THREAD_LUT = np.array([f"{i:08x}" for i in range(16)], dtype=object)
-
 CPU_STARV_RE = r"HMGR0152W: CPU Starvation detected.*delay is (?P<d>\d+) seconds"
 OOM_RE = r"java\.lang\.OutOfMemoryError"
 
@@ -195,64 +191,45 @@ def _compose(batch: pa.Table) -> pa.Table:
     eid = batch["event_id"].to_numpy()
     uidn = batch["user_id"].to_numpy()
     ts_s = pc.cast(pc.floor_temporal(batch["ts"], unit="second"), pa.timestamp("s"))
-    dtm = pc.strftime(ts_s, format="%m/%d/%y %H:%M:%S").to_numpy(zero_copy_only=False)
-    srv = np.char.add("was", (uidn % 4).astype(str))
-    thread = _THREAD_LUT[uidn % 16]
-    kinds = eid % 8
-    sel = [kinds == k for k in range(7)]
-    comp = np.select(
-        sel,
-        ["ServletWrappe", "ThreadMonitor", "TimeoutManage", "TimeoutManage",
-         "WsServerImpl", "SecurityAudit", "CoordinatorCo"],
-        default="ServletWrappe",
-    )
-    evt = np.select(sel, ["E", "W", "W", "I", "I", "A", "W"], default="E")
-    msg = np.select(
-        sel,
-        [
-            np.char.add(
-                np.char.add("SRVE0068E: Uncaught exception in servlet p",
-                            (eid % 20).astype(str)), ""
-            ),
-            np.char.add(
-                np.char.add('WSVR0605W: Thread "', (eid % 50).astype(str)),
-                '" may be hung',
-            ),
-            np.char.add(
-                np.char.add(
-                    np.char.add("WTRN0006W: Transaction T", eid.astype(str)),
-                    " timed out after ",
-                ),
-                np.char.add((eid % 120 + 1).astype(str), " seconds"),
-            ),
-            "WTRN0124I: Transaction completed",
-            "WSVR0001I: Server open for e-business",
-            "SECJ0064A: Authn audit",
-            np.char.add(
-                np.char.add(
-                    "HMGR0152W: CPU Starvation detected. Current thread "
-                    "scheduling delay is ",
-                    (eid % 10 + 2).astype(str),
-                ),
-                " seconds.",
-            ),
-        ],
-        default=np.char.add(
-            np.char.add(
-                "SRVE0068E: Uncaught exception java.lang.OutOfMemoryError: "
-                "Java heap space in servlet p",
-                (eid % 20).astype(str),
-            ),
-            "",
-        ),
-    )
-    def s(a):
-        return pa.array(list(a), pa.string())
+    dtm = pc.strftime(ts_s, format="%m/%d/%y %H:%M:%S")
 
-    line = pc.binary_join_element_wise(
-        s(srv), " [", s(dtm), ":000 UTC] ", s(thread), " ", s(comp), " ",
-        s(evt), " ", s(msg), "",
+    def istr(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    def j(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    srv = j("was", istr(uidn % 4))
+    thread = pa.array([f"{i:08x}" for i in range(16)], pa.string()).take(
+        pa.array(uidn % 16)
     )
+    kinds = eid % 8
+    conds = pa.StructArray.from_arrays(
+        [pa.array(kinds == k) for k in range(7)],
+        names=[str(k) for k in range(7)],
+    )
+    comp = pc.case_when(
+        conds, "ServletWrappe", "ThreadMonitor", "TimeoutManage",
+        "TimeoutManage", "WsServerImpl", "SecurityAudit", "CoordinatorCo",
+        "ServletWrappe",
+    )
+    evt = pc.case_when(conds, "E", "W", "W", "I", "I", "A", "W", "E")
+    msg = pc.case_when(
+        conds,
+        j("SRVE0068E: Uncaught exception in servlet p", istr(eid % 20)),
+        j('WSVR0605W: Thread "', istr(eid % 50), '" may be hung'),
+        j("WTRN0006W: Transaction T", istr(eid), " timed out after ",
+          istr(eid % 120 + 1), " seconds"),
+        "WTRN0124I: Transaction completed",
+        "WSVR0001I: Server open for e-business",
+        "SECJ0064A: Authn audit",
+        j("HMGR0152W: CPU Starvation detected. Current thread scheduling "
+          "delay is ", istr(eid % 10 + 2), " seconds."),
+        j("SRVE0068E: Uncaught exception java.lang.OutOfMemoryError: "
+          "Java heap space in servlet p", istr(eid % 20)),
+    )
+    line = j(srv, " [", dtm, ":000 UTC] ", thread, " ", comp, " ", evt, " ",
+             msg)
     return pa.table({"line_id": pa.array(eid, pa.int64()), "text": line})
 
 
