@@ -89,6 +89,19 @@ def default_pool_size() -> int:
     return max(1, min((total * 3) // 4, 12 * n_nodes))
 
 
+_DEFAULT_ENRICHER: "Enricher | None" = None
+
+
+def _enrich_default(batch: pa.Table) -> pa.Table:
+    """Stateless task path for the STATIC default tables: the lookup dicts
+    are module constants, constructed once per worker process (cached), so
+    there is no broadcast state to pin an actor pool for."""
+    global _DEFAULT_ENRICHER
+    if _DEFAULT_ENRICHER is None:
+        _DEFAULT_ENRICHER = Enricher()
+    return _DEFAULT_ENRICHER(batch)
+
+
 def enrich_dataset(
     ds,
     tool_categories: dict[str, str] | None = None,
@@ -96,18 +109,34 @@ def enrich_dataset(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32768,
 ):
-    """Attach category/role_severity via a broadcast-lookup actor pool.
+    """Attach category/role_severity via broadcast lookups.
 
-    concurrency=None sizes the pool to the cluster: a FIXED pool of
-    min(3/4 × total_cpus, 12 × n_nodes) actors (min 1) — proportional until
-    the per-node object-store writer cap. Ray FUSES the upstream stateless map
-    chain (compose → parse) into this actor-pool operator, so the pool
+    With CUSTOM tables the stage is a broadcast-lookup actor pool: the
+    driver ray.puts each table once, actors resolve the refs in __init__.
+    With the static DEFAULT tables there is no broadcast state to hold, so
+    the stage runs as a plain task map that FUSES with the upstream
+    compose → parse chain — an actor pool would only add ~0.3 s/actor
+    process-spawn latency per fresh pipeline (measured: 4-actor pool cost
+    ~1.4 s of a 1.7 s default-enrich query at sf0.1); `concurrency` is
+    ignored on this path.
+
+    concurrency=None sizes the custom-table pool to the cluster: a FIXED
+    pool of min(3/4 × total_cpus, 12 × n_nodes) actors (min 1) —
+    proportional until the per-node object-store writer cap. Ray FUSES the
+    upstream stateless map chain into the actor-pool operator, so the pool
     carries the pipeline's entire per-row compute — sizing it to a small
     fraction of the cluster throttles the whole job to that fraction
     (measured: pool=total/4 capped a 16-CPU flagship at ~4 cores). Spare
     CPUs are left free so reader/writer tasks are never starved by the
     actors' standing reservations; a fixed size avoids autoscaling churn
     (each scale-up pays process spawn + import while the queue stalls)."""
+    if tool_categories is None and role_severities is None:
+        return ds.map_batches(
+            _enrich_default,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     if concurrency is None:
         concurrency = default_pool_size()
     kwargs = {}
