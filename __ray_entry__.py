@@ -1310,6 +1310,16 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(_documents(sf_dir), target_lang="en", k=100)
 
 
+def q_dsir_resample(sf_dir: str):
+    """DSIR's Gumbel-top-k importance resample (arXiv:2302.03169 §2):
+    key = weight + Gumbel seeded from md5(doc_id|salt) — samples 100 docs
+    without replacement proportional to softmax(weight), deterministically.
+    Hash-exact SQL twin (same byte-fold uniform, same ln arithmetic)."""
+    from log_parser_ray.stages.dsir import dsir_resample
+
+    return dsir_resample(_documents(sf_dir), target_lang="en", k=100)
+
+
 def q_hash_embeddings(sf_dir: str):
     """The text embedder's integer core, oracle-checked: per doc the nonzero
     feature-hash buckets and signed occurrence sums (md5 little-endian
@@ -1499,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embeddings": q_hash_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
     }
 
 
@@ -1629,6 +1640,77 @@ SELECT d.doc_id,
        COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS cluster_size
 FROM documents d LEFT JOIN labels l USING (doc_id)
 """.strip()
+
+
+def _dsir_oracle(k: int = 100, resample: bool = False) -> str:
+    """SQL twin of the DSIR pipeline (stages/dsir.py): hashed unigram+bigram
+    log-ratio weights; selection = rank by rounded weight (resample=False)
+    or by weight + md5-seeded Gumbel noise (resample=True — the byte-fold
+    uniform reproduces dsir._uniform_md5 bit-for-bit)."""
+    from log_parser_ray.stages.dsir import ALPHA, N_BUCKETS
+
+    if resample:
+        extra = f"""
+            hx AS (SELECT printf('%02x', r) AS h2, r AS v FROM range(256) t(r)),
+            gum AS (
+              SELECT d.doc_id,
+                     -ln(-ln((SUM(m.v * power(256, 3 - j.j))::DOUBLE + 0.5)
+                             / 4294967296.0)) AS g
+              FROM (SELECT doc_id,
+                           md5(CAST(doc_id AS VARCHAR) || '|g0') AS hh
+                    FROM documents) d
+              CROSS JOIN range(4) j(j)
+              JOIN hx m ON m.h2 = substr(d.hh, 2*j.j + 1, 2)
+              GROUP BY d.doc_id),
+            keyed AS (
+              SELECT a.doc_id, a.weight,
+                     round_even(a.weight + gum.g, 6) AS key
+              FROM allw a JOIN gum USING (doc_id)),
+            rk AS (
+              SELECT doc_id, weight, key,
+                     row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+              FROM keyed)
+            SELECT doc_id, weight, key, rn <= {k} AS selected FROM rk"""
+    else:
+        extra = f"""
+            rk AS (
+              SELECT doc_id, weight,
+                     row_number() OVER (ORDER BY weight DESC, doc_id) AS rn
+              FROM allw)
+            SELECT doc_id, weight, rn <= {k} AS selected FROM rk"""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM toks),
+            pos AS (
+              SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+              FROM toks),
+            bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM pos),
+            grams AS (
+              SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+            bk AS (SELECT doc_id, substr(md5(g), 1, 4) AS b FROM grams),
+            tgt AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS tn
+              FROM bk JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en' GROUP BY b),
+            rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM bk GROUP BY b),
+            tot AS (SELECT
+              (SELECT COUNT(*) FROM bk JOIN documents d USING (doc_id)
+               WHERE d.lang = 'en') AS t_total,
+              (SELECT COUNT(*) FROM bk) AS r_total),
+            lr AS (
+              SELECT r.b,
+                     ln((COALESCE(t.tn, 0) + {ALPHA}) / (tot.t_total + {ALPHA} * {N_BUCKETS}))
+                   - ln((r.rn + {ALPHA}) / (tot.r_total + {ALPHA} * {N_BUCKETS})) AS lr
+              FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+            w AS (
+              SELECT bk.doc_id, round_even(SUM(lr.lr), 6) AS weight
+              FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
+            allw AS (
+              SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
+              FROM documents d LEFT JOIN w USING (doc_id)),
+            {extra.strip()}"""
 
 
 def _curate_oracle(
@@ -2416,48 +2498,14 @@ def oracle_sql() -> dict[str, str]:
                                                   CAST(v.embedding AS DOUBLE[])) >= 0.4
                    ) AS kept
             FROM embeddings v""",
-        # DSIR (arXiv:2302.03169) full SQL twin: hashed unigram+bigram bag
+        # DSIR (arXiv:2302.03169) full SQL twins: hashed unigram+bigram bag
         # models (bucket = first 4 md5 hex chars — the sample_by_hash idiom),
         # add-0.5 smoothing over the 65,536-bucket space, ln-ratio sum per
-        # doc, deterministic top-100 under (weight DESC, doc_id). Weights
-        # round_even(6) BEFORE ranking on both engines.
-        "dsir_weights": f"""
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
-              FROM documents),
-            uni AS (SELECT doc_id, unnest(ws) AS g FROM toks),
-            pos AS (
-              SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i
-              FROM toks),
-            bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM pos),
-            grams AS (
-              SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
-            bk AS (SELECT doc_id, substr(md5(g), 1, 4) AS b FROM grams),
-            tgt AS (
-              SELECT b, CAST(COUNT(*) AS BIGINT) AS tn
-              FROM bk JOIN documents d USING (doc_id)
-              WHERE d.lang = 'en' GROUP BY b),
-            rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM bk GROUP BY b),
-            tot AS (SELECT
-              (SELECT COUNT(*) FROM bk JOIN documents d USING (doc_id)
-               WHERE d.lang = 'en') AS t_total,
-              (SELECT COUNT(*) FROM bk) AS r_total),
-            lr AS (
-              SELECT r.b,
-                     ln((COALESCE(t.tn, 0) + 0.5) / (tot.t_total + 0.5 * 65536))
-                   - ln((r.rn + 0.5) / (tot.r_total + 0.5 * 65536)) AS lr
-              FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
-            w AS (
-              SELECT bk.doc_id, round_even(SUM(lr.lr), 6) AS weight
-              FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
-            allw AS (
-              SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
-              FROM documents d LEFT JOIN w USING (doc_id)),
-            rk AS (
-              SELECT doc_id, weight,
-                     row_number() OVER (ORDER BY weight DESC, doc_id) AS rn
-              FROM allw)
-            SELECT doc_id, weight, rn <= 100 AS selected FROM rk""",
+        # doc; selection = deterministic top-100 (weights) or md5-seeded
+        # Gumbel-top-k (resample). Keys round_even(6) BEFORE ranking on
+        # both engines.
+        "dsir_weights": _dsir_oracle(k=100, resample=False),
+        "dsir_resample": _dsir_oracle(k=100, resample=True),
         "knn_cosine": """
             SELECT query_id, vec_id, round_even(sim, 6) AS sim FROM (
               SELECT query_id, vec_id, sim,

@@ -5,9 +5,10 @@ Language Models via Importance Resampling", NeurIPS 2023, arXiv:2302.03169):
 bag-of-hashed-ngrams (unigrams + bigrams) generative models for a small
 TARGET domain and the RAW corpus; per-document importance weight
 = sum over the document's gram occurrences of
-log p_target(bucket) - log p_raw(bucket); then deterministic top-k
-selection (the paper resamples with Gumbel noise — the rank-by-weight
-variant here is its deterministic twin, ties broken by doc_id).
+log p_target(bucket) - log p_raw(bucket); then selection — either the
+deterministic rank-by-weight top-k (``dsir_weights``) or the paper's
+Gumbel-top-k importance resample with md5-seeded noise
+(``dsir_resample``), ties broken by doc_id in both.
 
 Scale shape (100-TB-first):
 
@@ -165,3 +166,73 @@ def dsir_weights(
         return t.append_column("selected", pc.is_in(t["doc_id"], value_set=ids))
 
     return weights.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _uniform_md5(doc_ids, salt: str = "g0") -> np.ndarray:
+    """Deterministic uniform in (0,1) per doc: the first 4 md5 bytes of
+    'doc_id|salt' as a big-endian u32, midpoint-shifted — engine-exact (the
+    sample_by_hash idiom widened to 32 bits)."""
+    suffix = "|" + salt
+    vals = np.fromiter(
+        (
+            int(hashlib.md5((str(d) + suffix).encode()).hexdigest()[:8], 16)
+            for d in doc_ids
+        ),
+        np.float64,
+        len(doc_ids),
+    )
+    return (vals + 0.5) / 4294967296.0
+
+
+def dsir_resample(
+    docs: "ray.data.Dataset",
+    target_lang: str = "en",
+    k: int = 100,
+    salt: str = "g0",
+) -> "ray.data.Dataset":
+    """DSIR's actual selection step — Gumbel-top-k importance RESAMPLING
+    (Xie et al. 2023 §2; Gumbel-top-k samples k docs without replacement
+    with probability proportional to the softmax of the log importance
+    weights): key = weight + Gumbel(0,1), take the top k. The Gumbel noise
+    is seeded from md5(doc_id|salt), so the sample is deterministic,
+    block-layout invariant, and SQL-twinned (the gumbel key rounds to 6
+    digits BEFORE ranking on both engines, ties broken by doc_id).
+
+    Output: (doc_id, weight, key, selected) for every document."""
+    import ray
+
+    tgt, raw = bucket_count_models(docs, target_lang)
+    lr_ref = ray.put(log_ratio_vector(tgt, raw))
+
+    def weigh(t: pa.Table, ref=lr_ref) -> pa.Table:
+        import ray as _ray
+
+        lrv = _ray.get(ref)
+        idx, parent = _bucket_ids(t)
+        w = np.zeros(t.num_rows, np.float64)
+        if len(idx):
+            np.add.at(w, parent, lrv[idx])
+        w = np.round(w, 6)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        u = _uniform_md5(ids, salt)
+        gumbel = -np.log(-np.log(u))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "weight": pa.array(w, pa.float64()),
+                "key": pa.array(np.round(w + gumbel, 6), pa.float64()),
+            }
+        )
+
+    keyed = docs.map_batches(
+        weigh, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    sel = top_k(
+        keyed, by=["key", "doc_id"], descending=[True, False], k=k
+    ).to_pandas()
+    sel_ids = pa.array(sel["doc_id"].to_numpy(), pa.int64())
+
+    def mark(t: pa.Table, ids=sel_ids) -> pa.Table:
+        return t.append_column("selected", pc.is_in(t["doc_id"], value_set=ids))
+
+    return keyed.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)

@@ -866,3 +866,55 @@ def test_dsir_weights_vs_bruteforce(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dsir_resample_gumbel_topk(ray_session):
+    """Gumbel-top-k resampling: the key equals weight + the md5-seeded
+    Gumbel noise (serial re-derivation), selection is the top-k by key,
+    and a different salt draws a different (but equally deterministic)
+    sample."""
+    import hashlib
+
+    from log_parser_ray.stages import dsir
+
+    texts = [f"alpha beta gamma doc{i} word{i % 3}" for i in range(30)]
+    langs = ["en" if i % 2 == 0 else "fr" for i in range(30)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": texts,
+                "lang": langs,
+            }
+        )
+    ).repartition(4)
+    k = 5
+    out = (
+        dsir.dsir_resample(ds, target_lang="en", k=k)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # serial Gumbel from the same md5 uniform over the output's own weights
+    u = np.array(
+        [
+            (int(hashlib.md5(f"{d}|g0".encode()).hexdigest()[:8], 16) + 0.5)
+            / 4294967296.0
+            for d in out["doc_id"]
+        ]
+    )
+    want_key = np.round(out["weight"].to_numpy() + (-np.log(-np.log(u))), 6)
+    np.testing.assert_array_equal(out["key"].to_numpy(), want_key)
+    order = out.sort_values(["key", "doc_id"], ascending=[False, True])
+    want_sel = set(order.head(k)["doc_id"])
+    assert set(out.loc[out["selected"], "doc_id"]) == want_sel
+    assert int(out["selected"].sum()) == k
+    # a different salt reseeds the noise → different deterministic sample
+    out2 = (
+        dsir.dsir_resample(ds, target_lang="en", k=k, salt="g1")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert not out2["key"].equals(out["key"])
+    out2b = (
+        dsir.dsir_resample(ds.repartition(7), target_lang="en", k=k, salt="g1")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out2, out2b)
