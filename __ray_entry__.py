@@ -1320,6 +1320,43 @@ def q_dsir_resample(sf_dir: str):
     return dsir_resample(_documents(sf_dir), target_lang="en", k=100)
 
 
+def q_documents_jsonl_roundtrip(sf_dir: str):
+    """NDJSON source roundtrip (the Dolma/C4-style interchange edge):
+    export documents.parquet to mixed plain/.gz JSONL shards (test
+    fixture), read them back with `ray.data.read_json` under a pinned
+    explicit schema, and aggregate (lang, source) → count + Σ n_chars.
+    Oracle = the same aggregate over the parquet view, so a hash match
+    proves the JSONL decode path is lossless for both compressions."""
+    import shutil
+    import tempfile
+
+    from log_parser_ray.sources.jsonl import (
+        export_documents_jsonl,
+        read_documents_jsonl,
+    )
+    from log_parser_ray.stages.aggregate import grouped_stats
+
+    tmp = tempfile.mkdtemp(prefix="lpr_jsonl_")
+    try:
+        export_documents_jsonl(sf_dir, tmp)
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        ds = read_documents_jsonl(tmp, schema=schema)
+        out = grouped_stats(
+            ds, ["lang", "source"], "n_chars", count="n", sum_="total_chars"
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_hash_embeddings(sf_dir: str):
     """The text embedder's integer core, oracle-checked: per doc the nonzero
     feature-hash buckets and signed occurrence sums (md5 little-endian
@@ -1510,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
+        "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
     }
 
 
@@ -2506,6 +2544,14 @@ def oracle_sql() -> dict[str, str]:
         # both engines.
         "dsir_weights": _dsir_oracle(k=100, resample=False),
         "dsir_resample": _dsir_oracle(k=100, resample=True),
+        # NDJSON roundtrip: the Ray side re-reads documents through mixed
+        # plain/.gz JSONL shards; a value-hash match against the direct
+        # parquet aggregate proves the JSON decode is lossless.
+        "documents_jsonl_roundtrip": """
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang, source""",
         "knn_cosine": """
             SELECT query_id, vec_id, round_even(sim, 6) AS sim FROM (
               SELECT query_id, vec_id, sim,
