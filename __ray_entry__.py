@@ -1357,6 +1357,26 @@ def q_documents_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot exact dedup (the crawl-refresh shape): even doc_ids
+    play the prior corpus, odd doc_ids the new crawl. Keeps the new
+    snapshot's within-snapshot survivors whose content fingerprint never
+    appeared in the prior corpus — the prior side contributes only its
+    distinct fps, its payloads are never re-shuffled."""
+    from log_parser_ray.stages.dedup import incremental_dedup
+
+    def split(parity: int):
+        return _documents(sf_dir).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return incremental_dedup(split(1), split(0)).sort("fp")
+
+
 def q_hash_embeddings(sf_dir: str):
     """The text embedder's integer core, oracle-checked: per doc the nonzero
     feature-hash buckets and signed occurrence sums (md5 little-endian
@@ -1548,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2552,6 +2573,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang, source""",
+        # crawl-refresh dedup: new = odd doc_ids, prior = even; new-snapshot
+        # exact-dedup survivors anti-joined on fp against the prior corpus
+        "incremental_dedup": """
+            WITH surv AS (
+              SELECT md5(text) AS fp, MIN(doc_id) AS doc_id,
+                     COUNT(*) AS n_copies
+              FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text))
+            SELECT fp, doc_id, n_copies FROM surv
+            WHERE fp NOT IN (
+              SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+            ORDER BY fp""",
         "knn_cosine": """
             SELECT query_id, vec_id, round_even(sim, 6) AS sim FROM (
               SELECT query_id, vec_id, sim,

@@ -125,6 +125,38 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def incremental_dedup(
+    new_docs: "ray.data.Dataset", prior_docs: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Dedupe a NEW snapshot against a PRIOR corpus (crawl-refresh shape).
+
+    Returns the new snapshot's within-snapshot exact-dedup survivors
+    ``(fp, doc_id, n_copies)`` whose content fingerprint does not appear
+    anywhere in the prior corpus. The standard incremental-ingest pattern
+    (CCNet/Dolma re-crawls): the prior corpus contributes ONLY its distinct
+    fingerprints — its payloads are never re-shuffled — so each refresh
+    costs one fp scan of the old data plus a fingerprint-keyed anti-join,
+    not a full re-dedup of old ∪ new. At 100 TB the prior side's distinct-fp
+    table is the persisted artifact of the previous run (exact_dedup's own
+    output), making the prior scan free; accepting raw docs here keeps the
+    API symmetric for callers that don't retain it."""
+    from log_parser_ray.stages.aggregate import merge_join
+
+    surv = exact_dedup(new_docs)
+    prior_fps = exact_dedup(prior_docs).select_columns(["fp"])
+    return merge_join(
+        surv,
+        prior_fps,
+        on="fp",
+        left_schema=pa.schema(
+            [("fp", pa.string()), ("doc_id", pa.int64()),
+             ("n_copies", pa.int64())]
+        ),
+        right_schema=pa.schema([("fp", pa.string())]),
+        how="left_anti",
+    )
+
+
 def _pairs_from_buckets(
     ds: "ray.data.Dataset",
     bucket_col: str,
@@ -1026,4 +1058,13 @@ def line_dedup(
             }
         )
 
-    return group_safe_map(kept, ["doc_id"], reassemble)
+    out = group_safe_map(kept, ["doc_id"], reassemble)
+    # an all-boilerplate corpus leaves ONLY schema-less empty blocks (Ray
+    # never calls a map fn on an empty batch), which drop the (doc_id, text)
+    # schema from to_pandas/joins downstream; seed one typed empty block so
+    # the schema survives regardless of content. O(1) — no materialize.
+    seed = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        .empty_table()
+    )
+    return seed.union(out)

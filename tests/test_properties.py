@@ -124,10 +124,8 @@ def test_line_dedup_matches_bruteforce(ray_session, line_lists):
         "doc_id": list(range(len(line_lists))),
         "text": ["\n".join(ls) for ls in line_lists],
     })
-    out = (
-        line_dedup(ray.data.from_pandas(docs).repartition(3))
-        .to_pandas()
-    )
+    deduped = line_dedup(ray.data.from_pandas(docs).repartition(3))
+    out = deduped.to_pandas()
     lines = [(d, l) for d, t in zip(docs.doc_id, docs.text)
              for l in t.split("\n")]
     nd = Counter()
@@ -139,4 +137,11 @@ def test_line_dedup_matches_bruteforce(ray_session, line_lists):
         kept = [l for l in t.split("\n") if l not in boiler]
         if kept:
             exp[d] = "\n".join(kept)
-    assert dict(zip(out["doc_id"], out["text"])) == exp
+    if len(out) == 0:
+        # Ray's to_pandas drops ALL columns from an all-empty Dataset (the
+        # weblog.py:443 quirk) — the Dataset itself keeps (doc_id, text)
+        # thanks to line_dedup's typed seed block
+        assert exp == {}
+        assert deduped.schema().names == ["doc_id", "text"]
+    else:
+        assert dict(zip(out["doc_id"], out["text"])) == exp

@@ -53,6 +53,22 @@ def test_exact_dedup_survivor_rule(ray_session):
     assert set(out["doc_id"]) == {0, 1, 3}
 
 
+def test_incremental_dedup_drops_prior_content(ray_session):
+    # prior corpus holds BASE and FAR; the new crawl re-crawls BASE (must be
+    # dropped by the fp anti-join), carries NEAR twice (within-snapshot dup
+    # -> min-id survivor, n_copies=2), and one genuinely new text
+    prior = docs_ds([BASE, FAR])
+    new = docs_ds([BASE, NEAR, NEAR, "a genuinely new document body"])
+    out = (
+        ddp.incremental_dedup(new, prior)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]  # BASE (doc 0) dropped
+    assert out["n_copies"].tolist() == [2, 1]
+
+
 def test_minhash_precision_and_recall(ray_session):
     texts = [BASE, NEAR, FAR, BASE + " extra", "the quick brown fox", FAR + " more"]
     ds = docs_ds(texts)
