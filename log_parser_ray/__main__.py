@@ -27,6 +27,10 @@ def main(argv=None) -> int:
                      "full webAccessLogParser-shape run (routed sinks + summary report)")
     src.add_argument("--master-logs", help="dir of mixed real log files: run every "
                      "applicable parser family (masterLogParser.sh analogue)")
+    src.add_argument("--jsonl-in", help="dir (or file) of NDJSON *.jsonl/*.jsonl.gz "
+                     "shards: bulk-convert to Parquet under --out/parquet (the "
+                     "once-at-the-edge step — JSON can't prune columns or "
+                     "row-groups, so downstream pipelines read the parquet)")
     ap.add_argument("--file-pattern", default=None,
                     help="--raw-logs: substring filter on file names (date-rotation predicate)")
     ap.add_argument("--record-date", default=None, metavar="YYYY-MM-DD",
@@ -143,6 +147,17 @@ def main(argv=None) -> int:
 
         schema.FILTER_PATTERNS[:] = schema.load_filter_patterns(
             args.custom_filter)
+
+    if args.jsonl_in:
+        # streaming shard-by-shard convert; row count comes from the written
+        # parquet footers (metadata only), never a second data scan
+        from log_parser_ray.sources.jsonl import read_documents_jsonl
+
+        out_dir = args.out.rstrip("/") + "/parquet"
+        read_documents_jsonl(args.jsonl_in).write_parquet(out_dir)
+        n = ray.data.read_parquet(out_dir).count()
+        print(json.dumps({"rows": int(n), "out": out_dir}, sort_keys=True))
+        return 0
 
     if args.master_logs:
         from log_parser_ray.pipelines import master

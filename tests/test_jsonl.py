@@ -79,6 +79,29 @@ def test_jsonl_schema_pins_dtypes_and_ignores_stray_fields(
     assert df["n_chars"].tolist() == [3, 1]
 
 
+def test_cli_jsonl_to_parquet(ray_session, tmp_path, capsys):
+    """--jsonl-in bulk-converts NDJSON shards to parquet under --out (the
+    once-at-the-edge step)."""
+    from log_parser_ray.__main__ import main
+
+    export_documents_jsonl(SF, str(tmp_path / "in"), shards=4)
+    assert main(["--jsonl-in", str(tmp_path / "in"),
+                 "--out", str(tmp_path / "out")]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import ray
+
+    want = ray.data.read_parquet(f"{SF}/documents.parquet")
+    assert res["rows"] == want.count()
+    got = (
+        ray.data.read_parquet(res["out"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    wdf = want.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[wdf.columns.tolist()].equals(wdf)
+
+
 def test_write_jsonl_reads_back(ray_session, tmp_path):
     import ray
 
