@@ -60,7 +60,11 @@ def read_documents_jsonl(
                 explicit_schema=schema, unexpected_field_behavior="ignore"
             ),
         )
-    ds = ray.data.read_json(path, file_extensions=["jsonl", "gz"], **kwargs)
+    # ".json" included so write_jsonl output (Ray's default NDJSON sink
+    # extension) roundtrips through this reader
+    ds = ray.data.read_json(
+        path, file_extensions=["jsonl", "json", "gz"], **kwargs
+    )
     if columns:
         ds = ds.select_columns(list(columns))
     return ds
@@ -90,6 +94,10 @@ def export_documents_jsonl(
     step = -(-n // shards) if n else 1
     for k in range(shards):
         part = tbl.slice(k * step, step).to_pandas()
+        if part.empty:
+            # arrow's NDJSON reader rejects empty files ("Empty JSON file") —
+            # never write a rowless shard
+            continue
         if k % 2:
             with gzip.open(
                 os.path.join(out_dir, f"part-{k}.jsonl.gz"), "wt",

@@ -108,7 +108,7 @@ def test_write_jsonl_reads_back(ray_session, tmp_path):
     src = ray.data.read_parquet(f"{SF}/documents.parquet")
     out = write_jsonl(src, str(tmp_path / "sink"))
     back = (
-        ray.data.read_json(out)
+        read_documents_jsonl(out)  # the sink's .json shards roundtrip
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
