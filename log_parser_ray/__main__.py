@@ -152,8 +152,11 @@ def main(argv=None) -> int:
         # streaming shard-by-shard convert; row count comes from the written
         # parquet footers (metadata only), never a second data scan
         from log_parser_ray.sources.jsonl import read_documents_jsonl
+        from log_parser_ray.state.manifest import fresh_dir
 
-        out_dir = args.out.rstrip("/") + "/parquet"
+        # run-owned sink: rerun REPLACES (uuid-named parquet parts would
+        # otherwise accumulate next to stale ones)
+        out_dir = fresh_dir(args.out.rstrip("/") + "/parquet")
         read_documents_jsonl(args.jsonl_in).write_parquet(out_dir)
         n = ray.data.read_parquet(out_dir).count()
         print(json.dumps({"rows": int(n), "out": out_dir}, sort_keys=True))

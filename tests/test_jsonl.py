@@ -100,6 +100,12 @@ def test_cli_jsonl_to_parquet(ray_session, tmp_path, capsys):
     )
     wdf = want.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got[wdf.columns.tolist()].equals(wdf)
+    # rerun REPLACES the run-owned sink — uuid part names must not accumulate
+    assert main(["--jsonl-in", str(tmp_path / "in"),
+                 "--out", str(tmp_path / "out")]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["rows"] == res["rows"]
+    assert ray.data.read_parquet(res["out"]).count() == res["rows"]
 
 
 def test_write_jsonl_reads_back(ray_session, tmp_path):
