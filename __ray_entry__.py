@@ -1377,6 +1377,43 @@ def q_incremental_dedup(sf_dir: str):
     return incremental_dedup(split(1), split(0)).sort("fp")
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher document-quality rules (arXiv:2112.11446 §A.1.1): per-doc
+    word/line-shape metrics + the 7-rule pass verdict, one zero-copy
+    map_batches with RE2 kernels shared verbatim with the SQL twin."""
+    return textops.gopher_quality(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+# the C4 query derives a multi-line, punctuated, rule-triggering corpus from
+# the fixed single-line documents table — the SAME literal replace chain on
+# both engines, so the op sees real line structure at every scale
+_C4_PREP = (
+    (" table", ".\n"), (" value", ".\n"), (" row", ".\n"),
+    ("stream", "javascript"), ("dup", "{"),
+)
+
+
+def q_c4_clean(sf_dir: str):
+    """C4 cleaning (arXiv:1910.10683 §2.2) over a derived multi-line corpus:
+    line keep-rules (terminal punctuation, ≥5 words, no javascript) + doc
+    drop-rules ('lorem ipsum', '{', <3 kept lines), entirely in-task."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t["text"]
+        for old, new in _C4_PREP:
+            s = pc.replace_substring(s, old, new)
+        return pa.table({"doc_id": t["doc_id"], "text": s})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return textops.c4_clean(docs)
+
+
 def q_hash_embeddings(sf_dir: str):
     """The text embedder's integer core, oracle-checked: per doc the nonzero
     feature-hash buckets and signed occurrence sums (md5 little-endian
@@ -1569,6 +1606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": q_dsir_resample,
         "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
         "incremental_dedup": q_incremental_dedup,
+        "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -1699,6 +1738,80 @@ SELECT d.doc_id,
        COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS cluster_size
 FROM documents d LEFT JOIN labels l USING (doc_id)
 """.strip()
+
+
+def _gopher_oracle() -> str:
+    """SQL twin of textops.gopher_quality — the same six RE2 count patterns
+    verbatim (Arrow count_substring_regex == DuckDB len(regexp_extract_all),
+    probed on all of them), rule thresholds compared on the ROUNDED metrics
+    exactly as the Ray side does."""
+    t = textops
+    req = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in t.GOPHER_REQ_STOPWORDS
+    )
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '{t.WORD_RE}')) AS BIGINT) AS n_words,
+                 greatest(len(regexp_extract_all(lower(text), '{t.WORD_RE}')), 1.0) AS wf,
+                 len(regexp_extract_all(lower(text), '{t.WORD_CHAR_RE}')) AS n_wchars,
+                 len(regexp_extract_all(text, '{t.SYMBOL_RE}')) AS n_sym,
+                 CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS DOUBLE) AS n_lines,
+                 len(regexp_extract_all(text, '{t.BULLET_RE}')) AS n_bullet,
+                 len(regexp_extract_all(text, '{t.ELLIPSIS_RE}')) AS n_ell,
+                 len(regexp_extract_all(lower(text), '{t.ALPHA_WORD_RE}')) AS n_alpha,
+                 CAST({req} AS BIGINT) AS n_req_stop
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_words,
+                 round_even(n_wchars / wf, 6) AS mean_word_len,
+                 round_even(n_sym / wf, 6) AS symbol_ratio,
+                 round_even(n_bullet / n_lines, 6) AS bullet_frac,
+                 round_even(n_ell / n_lines, 6) AS ellipsis_frac,
+                 round_even(n_alpha / wf, 6) AS alpha_frac,
+                 n_req_stop
+          FROM m)
+        SELECT *,
+               (n_words BETWEEN {t.GOPHER_MIN_WORDS} AND {t.GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {t.GOPHER_MIN_MWL} AND {t.GOPHER_MAX_MWL}
+                AND symbol_ratio <= {t.GOPHER_MAX_SYMBOL_RATIO}
+                AND bullet_frac <= {t.GOPHER_MAX_BULLET_FRAC}
+                AND ellipsis_frac <= {t.GOPHER_MAX_ELLIPSIS_FRAC}
+                AND alpha_frac >= {t.GOPHER_MIN_ALPHA_FRAC}
+                AND n_req_stop >= {t.GOPHER_MIN_REQ_STOP}) AS passed
+        FROM r"""
+
+
+def _c4_oracle() -> str:
+    """SQL twin of q_c4_clean: the same literal _C4_PREP replace chain to
+    derive the multi-line corpus, then list_filter with the shared line
+    rules and a string_agg rejoin over the kept list (order-preserving on
+    both engines)."""
+    t = textops
+    prep = "text"
+    for old, new in _C4_PREP:
+        lit = "'" + new.replace("\n", "' || chr(10) || '") + "'"
+        lit = lit.replace(" || ''", "")  # trim empty tail concat
+        prep = f"replace({prep}, '{old}', {lit})"
+    return f"""
+        WITH prep AS (SELECT doc_id, {prep} AS text FROM documents),
+        L AS (
+          SELECT doc_id, text,
+                 len(string_split(text, chr(10))) AS n_lines,
+                 list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(l, '{t.C4_LINE_END_RE}')
+                        AND len(regexp_extract_all(lower(l), '{t.WORD_RE}'))
+                              >= {t.C4_MIN_LINE_WORDS}
+                        AND NOT regexp_matches(lower(l), '{t.C4_JS_RE}')) AS kept
+          FROM prep)
+        SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               list_aggregate(kept, 'string_agg', chr(10)) AS text
+        FROM L
+        WHERE len(kept) >= {t.C4_MIN_KEPT_LINES}
+          AND NOT contains(lower(text), '{t.C4_LOREM}')
+          AND NOT contains(text, CHR(123))"""
 
 
 def _dsir_oracle(k: int = 100, resample: bool = False) -> str:
@@ -2584,6 +2697,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE fp NOT IN (
               SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
             ORDER BY fp""",
+        "gopher_quality": _gopher_oracle(),
+        "c4_clean": _c4_oracle(),
         "knn_cosine": """
             SELECT query_id, vec_id, round_even(sim, 6) AS sim FROM (
               SELECT query_id, vec_id, sim,

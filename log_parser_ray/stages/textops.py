@@ -76,6 +76,161 @@ def quality_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446 §A.1.1),
+# the rule set reused by FineWeb / Dolma / RedPajama-v2. Every pattern below
+# is RE2 and IDENTICAL in the DuckDB oracle; counts agree kernel-for-kernel
+# (probed: count_substring_regex == len(regexp_extract_all) on all five).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1     # '#' or '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.9      # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3    # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_FRAC = 0.8       # words containing a letter
+GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQ_STOP = 2
+BULLET_RE = r"(?m)^[ \t]*[-*•]"
+ELLIPSIS_RE = r"(?m)(\.\.\.|…)$"
+SYMBOL_RE = r"#|\.\.\."
+ALPHA_WORD_RE = "[a-z0-9]*[a-z][a-z0-9]*"
+WORD_CHAR_RE = "[a-z0-9]"
+
+
+def gopher_quality(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc Gopher rule metrics + the pass verdict.
+
+    One zero-copy ``map_batches``: ~14 RE2 count/match kernels per batch,
+    no explode, no shuffle, nothing to the driver — embarrassingly parallel
+    at any corpus size. Ratios are exact rationals of integer counts rounded
+    half-even to 6 dp on both engines (the house float protocol)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        f64 = pa.float64()
+
+        def cnt(arr, pat):
+            return pc.cast(pc.count_substring_regex(arr, pat), pa.int64())
+
+        n_words = cnt(low, WORD_RE)
+        wf = pc.max_element_wise(pc.cast(n_words, f64), 1.0)
+        mean_word_len = pc.round(
+            pc.divide(pc.cast(cnt(low, WORD_CHAR_RE), f64), wf), ndigits=6)
+        symbol_ratio = pc.round(
+            pc.divide(pc.cast(cnt(t["text"], SYMBOL_RE), f64), wf), ndigits=6)
+        n_lines = pc.add(cnt(t["text"], "\n"), 1)
+        lf = pc.cast(n_lines, f64)
+        bullet_frac = pc.round(
+            pc.divide(pc.cast(cnt(t["text"], BULLET_RE), f64), lf), ndigits=6)
+        ellipsis_frac = pc.round(
+            pc.divide(pc.cast(cnt(t["text"], ELLIPSIS_RE), f64), lf), ndigits=6)
+        alpha_frac = pc.round(
+            pc.divide(pc.cast(cnt(low, ALPHA_WORD_RE), f64), wf), ndigits=6)
+        n_req = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        for w in GOPHER_REQ_STOPWORDS:
+            hit = pc.match_substring_regex(low, rf"\b{w}\b")
+            n_req = pc.add(n_req, pc.cast(hit, pa.int64()))
+        passed = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_words, GOPHER_MIN_WORDS),
+                        pc.less_equal(n_words, GOPHER_MAX_WORDS)),
+                pc.and_(pc.greater_equal(mean_word_len, GOPHER_MIN_MWL),
+                        pc.less_equal(mean_word_len, GOPHER_MAX_MWL)),
+            ),
+            pc.and_(
+                pc.and_(pc.less_equal(symbol_ratio, GOPHER_MAX_SYMBOL_RATIO),
+                        pc.less_equal(bullet_frac, GOPHER_MAX_BULLET_FRAC)),
+                pc.and_(
+                    pc.and_(
+                        pc.less_equal(ellipsis_frac, GOPHER_MAX_ELLIPSIS_FRAC),
+                        pc.greater_equal(alpha_frac, GOPHER_MIN_ALPHA_FRAC)),
+                    pc.greater_equal(n_req, GOPHER_MIN_REQ_STOP),
+                ),
+            ),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"], "n_words": n_words,
+            "mean_word_len": mean_word_len, "symbol_ratio": symbol_ratio,
+            "bullet_frac": bullet_frac, "ellipsis_frac": ellipsis_frac,
+            "alpha_frac": alpha_frac, "n_req_stop": n_req, "passed": passed,
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2). The
+# published badwords list is out of scope (no network); every other rule is
+# implemented. "At least 3 sentences" uses kept lines as the sentence proxy
+# (each kept line ends in terminal punctuation, so kept lines lower-bound
+# sentences) — documented divergence, same on both engines.
+C4_LINE_END_RE = r'[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_JS_RE = "javascript"
+C4_LOREM = "lorem ipsum"
+
+
+def c4_clean(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """C4 line/document cleaning: keep lines that end in terminal
+    punctuation, have ≥5 words and don't mention javascript; drop documents
+    containing 'lorem ipsum' or '{' or with <3 kept lines; rejoin survivors.
+
+    Scale shape: line filtering is purely per-document, so the WHOLE op is
+    one ``map_batches`` — split to a list array, evaluate the line predicate
+    on the flattened child (three RE2 kernels over every line at once),
+    rebuild each doc's kept-line list from the batch-local parent indices
+    (numpy bincount; parent indices of a flatten are already sorted), and
+    ``binary_join``. No explode leaves the task, no shuffle, no driver
+    collect."""
+
+    def _cc(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = _cc(pc.split_pattern(t["text"], "\n"))
+        flat = _cc(pc.list_flatten(toks))
+        parent = _cc(pc.list_parent_indices(toks))
+        lowl = pc.utf8_lower(flat)
+        keep_line = pc.and_(
+            pc.and_(
+                pc.match_substring_regex(flat, C4_LINE_END_RE),
+                pc.greater_equal(
+                    pc.count_substring_regex(lowl, WORD_RE), C4_MIN_LINE_WORDS),
+            ),
+            pc.invert(pc.match_substring_regex(lowl, C4_JS_RE)),
+        )
+        kept_flat = flat.filter(keep_line)
+        kept_parent = parent.filter(keep_line).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        n_lines = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_kept = np.bincount(kept_parent, minlength=n).astype(np.int64)
+        # rebuild list<string> of kept lines per doc: flatten parent indices
+        # are non-decreasing, so offsets are the cumulative kept counts
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=offsets[1:])
+        kept_lists = pa.ListArray.from_arrays(pa.array(offsets), _cc(kept_flat))
+        doc_ok = pc.and_(
+            pc.and_(
+                pa.array(n_kept >= C4_MIN_KEPT_LINES),
+                pc.invert(pc.match_substring(pc.utf8_lower(t["text"]), C4_LOREM)),
+            ),
+            pc.invert(pc.match_substring(t["text"], "{")),
+        )
+        out = pa.table({
+            "doc_id": t["doc_id"], "n_lines": n_lines,
+            "n_kept": pa.array(n_kept), "text": pc.binary_join(kept_lists, "\n"),
+        })
+        return out.filter(doc_ok)
+
+    # seed one typed empty block so an all-filtered corpus keeps the schema
+    # (Ray never calls the fn on an empty batch — line_dedup's regression)
+    seed = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64()),
+                   ("n_kept", pa.int64()), ("text", pa.string())])
+        .empty_table()
+    )
+    return seed.union(
+        docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def token_counts_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """(source) → n_docs, sum_tokens under the BPE-ish tokenizer — the
     "how many tokens is this corpus" question, two-phase aggregated."""

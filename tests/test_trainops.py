@@ -934,3 +934,76 @@ def test_dsir_resample_gumbel_topk(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out2, out2b)
+
+
+def test_gopher_quality_rules(ray_session):
+    """Each Gopher rule (arXiv:2112.11446 §A.1.1) trips on a crafted doc and
+    the metrics match a hand computation."""
+    good = ("the data to be of use and that we have with us today . " +
+            "many plain words follow here ") * 3  # >50 words, all rules ok
+    short = "the be to of and that have with few words"         # <50 words
+    bullets = "\n".join(f"- {good}" for _ in range(4))          # bullet_frac 1.0
+    dots = "\n".join(f"{good}..." for _ in range(4))            # ellipsis_frac 1.0
+    nums = "the be to of and " + " ".join(str(i) for i in range(60))  # alpha_frac low
+    nostop = "alpha beta gamma delta " * 20                     # n_req_stop 0
+    symbols = "the be to of and " + "# " * 30 + "word " * 50    # symbol ratio > 0.1
+    out = (
+        textops.gopher_quality(docs_ds([good, short, bullets, dots,
+                                        nums, nostop, symbols]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["passed"].tolist() == [True, False, False, False,
+                                      False, False, False]
+    g = out.iloc[0]
+    words = good.lower().split()
+    import re
+    toks = re.findall(textops.WORD_RE, good.lower())
+    assert g["n_words"] == len(toks)
+    assert g["mean_word_len"] == round(sum(map(len, toks)) / len(toks), 6)
+    assert g["n_req_stop"] == 8  # all eight required stopwords present
+    b = out.iloc[2]
+    assert b["bullet_frac"] == 1.0 and b["ellipsis_frac"] == 0.0
+    d = out.iloc[3]
+    assert d["ellipsis_frac"] == 1.0
+    assert out.iloc[4]["alpha_frac"] < textops.GOPHER_MIN_ALPHA_FRAC
+    assert out.iloc[5]["n_req_stop"] == 0
+    assert out.iloc[6]["symbol_ratio"] > textops.GOPHER_MAX_SYMBOL_RATIO
+
+
+def test_c4_clean_rules(ray_session):
+    """C4 (arXiv:1910.10683 §2.2): line keep-rules and doc drop-rules each
+    fire; surviving lines rejoin in order; empty corpus keeps the schema."""
+    l_ok1 = "this line has enough words and punctuation."
+    l_ok2 = "another line with the required five words!"
+    l_ok3 = "a third sentence that also clearly qualifies?"
+    l_short = "too few words."
+    l_nopunct = "this line has plenty of words but no terminal mark"
+    l_js = "enable javascript to view this page properly."
+    keep = "\n".join([l_ok1, l_short, l_ok2, l_nopunct, l_ok3, l_js])
+    two_lines = "\n".join([l_ok1, l_ok2])                 # <3 kept → dropped
+    lorem = keep + "\nsome Lorem Ipsum filler remains."   # dropped (doc rule)
+    brace = keep + "\nvar x = {1};"                       # dropped (doc rule)
+    out = (
+        textops.c4_clean(docs_ds([keep, two_lines, lorem, brace]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0]
+    assert out.iloc[0]["text"] == "\n".join([l_ok1, l_ok2, l_ok3])
+    assert out.iloc[0]["n_lines"] == 6 and out.iloc[0]["n_kept"] == 3
+    # Ray's to_pandas drops columns from an all-empty Dataset; the typed
+    # seed block keeps the Dataset-level schema (the line_dedup convention)
+    empty = textops.c4_clean(docs_ds([two_lines]))
+    assert empty.schema().names == ["doc_id", "n_lines", "n_kept", "text"]
+    assert empty.count() == 0
+    # parallelism invariance: same rows regardless of block layout
+    many = [keep, two_lines, lorem, brace] * 5
+    a = textops.c4_clean(docs_ds(many)).to_pandas()
+    b = textops.c4_clean(
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(many)), pa.int64()),
+                      "text": many})).repartition(11)
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
