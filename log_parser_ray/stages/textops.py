@@ -88,7 +88,9 @@ GOPHER_MAX_ELLIPSIS_FRAC = 0.3    # lines ending with an ellipsis
 GOPHER_MIN_ALPHA_FRAC = 0.8       # words containing a letter
 GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_MIN_REQ_STOP = 2
-BULLET_RE = r"(?m)^[ \t]*[-*•]"
+BULLET_BODY_RE = r"[ \t]*[-*•]"
+BULLET_RE = r"(?m)^" + BULLET_BODY_RE  # the SQL twin's form (DuckDB counts
+# (?m)^ correctly; Arrow does not — see gopher_quality's decomposition)
 ELLIPSIS_RE = r"(?m)(\.\.\.|…)$"
 SYMBOL_RE = r"#|\.\.\."
 ALPHA_WORD_RE = "[a-z0-9]*[a-z][a-z0-9]*"
@@ -118,8 +120,18 @@ def gopher_quality(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             pc.divide(pc.cast(cnt(t["text"], SYMBOL_RE), f64), wf), ndigits=6)
         n_lines = pc.add(cnt(t["text"], "\n"), 1)
         lf = pc.cast(n_lines, f64)
-        bullet_frac = pc.round(
-            pc.divide(pc.cast(cnt(t["text"], BULLET_RE), f64), lf), ndigits=6)
+        # Arrow's count_substring_regex re-anchors ^ at each scan resume
+        # ('--' counts 2 under BULLET_RE; Python re and DuckDB count 1), so
+        # bullet lines decompose to interior \n-prefixed matches + a
+        # text-start match — probed equal to re/DuckDB on adjacent-bullet
+        # edges. $ anchors are safe (end positions never shift).
+        n_bullet = pc.add(
+            cnt(t["text"], "\n" + BULLET_BODY_RE),
+            pc.cast(
+                pc.match_substring_regex(t["text"], "^" + BULLET_BODY_RE),
+                pa.int64()),
+        )
+        bullet_frac = pc.round(pc.divide(pc.cast(n_bullet, f64), lf), ndigits=6)
         ellipsis_frac = pc.round(
             pc.divide(pc.cast(cnt(t["text"], ELLIPSIS_RE), f64), lf), ndigits=6)
         alpha_frac = pc.round(

@@ -145,3 +145,96 @@ def test_line_dedup_matches_bruteforce(ray_session, line_lists):
         assert deduped.schema().names == ["doc_id", "text"]
     else:
         assert dict(zip(out["doc_id"], out["text"])) == exp
+
+
+c4_line_st = st.lists(
+    st.sampled_from([
+        "one two three four five six.",  # kept
+        "short line.",                    # <5 words
+        "five whole words but no mark",   # no terminal punct
+        "the javascript rule fires on this line.",
+        "does this question line qualify today?",
+        'a quoted ending with five words"',
+        "", "{ brace }", "lorem ipsum dolor sit amet here.",
+    ]),
+    min_size=0, max_size=6,
+)
+
+
+@_slow
+@given(line_lists=st.lists(c4_line_st, min_size=1, max_size=10))
+def test_c4_clean_matches_bruteforce(ray_session, line_lists):
+    """c4_clean equals the serial line-filter + doc-rule + rejoin on
+    arbitrary line combinations (triggers for every rule in the pool)."""
+    import re
+
+    from log_parser_ray.stages import textops as t
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(len(line_lists))),
+        "text": ["\n".join(ls) for ls in line_lists],
+    })
+    out = t.c4_clean(ray.data.from_pandas(docs).repartition(3)).to_pandas()
+
+    exp = {}
+    for d, txt in zip(docs.doc_id, docs.text):
+        lines = txt.split("\n")
+        kept = [
+            l for l in lines
+            if re.search(t.C4_LINE_END_RE, l)
+            and len(re.findall(t.WORD_RE, l.lower())) >= t.C4_MIN_LINE_WORDS
+            and not re.search(t.C4_JS_RE, l.lower())
+        ]
+        if (len(kept) >= t.C4_MIN_KEPT_LINES
+                and t.C4_LOREM not in txt.lower() and "{" not in txt):
+            exp[d] = (len(lines), len(kept), "\n".join(kept))
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.text) for r in out.itertuples()}
+    assert got == exp
+
+
+@_slow
+@given(texts=st.lists(
+    st.text(
+        alphabet="the bofandwih\n.-*…#!?\"5 ",  # letters cover the req stopwords
+        min_size=0, max_size=120,
+    ),
+    min_size=1, max_size=8,
+))
+def test_gopher_quality_matches_bruteforce(ray_session, texts):
+    """gopher_quality metrics and verdict equal a serial `re` computation on
+    arbitrary text (multiline bullets/ellipses, symbols, degenerate docs)."""
+    import re
+
+    from log_parser_ray.stages import textops as t
+
+    docs = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    out = (
+        t.gopher_quality(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        low = txt.lower()
+        n_words = len(re.findall(t.WORD_RE, low))
+        wf = max(n_words, 1.0)
+        n_lines = txt.count("\n") + 1
+        mwl = round(len(re.findall(t.WORD_CHAR_RE, low)) / wf, 6)
+        sym = round(len(re.findall(t.SYMBOL_RE, txt)) / wf, 6)
+        bullet = round(len(re.findall(t.BULLET_RE, txt)) / n_lines, 6)
+        ell = round(len(re.findall(t.ELLIPSIS_RE, txt)) / n_lines, 6)
+        alpha = round(len(re.findall(t.ALPHA_WORD_RE, low)) / wf, 6)
+        req = sum(
+            bool(re.search(rf"\b{w}\b", low)) for w in t.GOPHER_REQ_STOPWORDS)
+        r = out.iloc[i]
+        assert (r.n_words, r.n_req_stop) == (n_words, req)
+        assert (r.mean_word_len, r.symbol_ratio, r.bullet_frac,
+                r.ellipsis_frac, r.alpha_frac) == (mwl, sym, bullet, ell, alpha)
+        want_pass = (
+            t.GOPHER_MIN_WORDS <= n_words <= t.GOPHER_MAX_WORDS
+            and t.GOPHER_MIN_MWL <= mwl <= t.GOPHER_MAX_MWL
+            and sym <= t.GOPHER_MAX_SYMBOL_RATIO
+            and bullet <= t.GOPHER_MAX_BULLET_FRAC
+            and ell <= t.GOPHER_MAX_ELLIPSIS_FRAC
+            and alpha >= t.GOPHER_MIN_ALPHA_FRAC
+            and req >= t.GOPHER_MIN_REQ_STOP
+        )
+        assert bool(r.passed) == want_pass
