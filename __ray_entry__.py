@@ -1491,7 +1491,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_rows": q_routed_rows,
         "sink_counts": q_sink_counts,
         "conv_category_counts": q_conv_category_counts,
-        "severity_counts": q_severity_counts,
         "hourly_sink_counts": q_hourly_sink_counts,
         "hourly_distinct_convs": q_hourly_distinct_convs,
         "tool_rt_stats": q_tool_rt_stats,
@@ -1499,7 +1498,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_error_alerts": q_conv_error_alerts,
         "hour_sink_pivot": q_hour_sink_pivot,
         "sink_pct": q_sink_pct,
-        "grand_totals": q_grand_totals,
         # -- sessions / stateful ordered
         "session_durations": q_session_durations,
         "asof_error_tool": q_asof_error_tool,
@@ -1549,7 +1547,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sketches / sampling
         "winnow_overlap": q_winnow_overlap,
         "heavy_hitter_terms": q_heavy_hitter_terms,
+        # -- round-5 quality-rule operators (rotated INTO the window in
+        # place of severity_counts / grand_totals — count shapes the window
+        # already proves via sink_counts / sink_pct)
+        "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
         # ---- driver window (50) ends here ----
+        "severity_counts": q_severity_counts,
+        "grand_totals": q_grand_totals,
         "error_code_counts": q_error_code_counts,
         "was_msgid_counts": q_was_msgid_counts,
         "pii_redacted_rows": q_pii_redacted_rows,
@@ -1606,8 +1611,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": q_dsir_resample,
         "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
         "incremental_dedup": q_incremental_dedup,
-        "gopher_quality": q_gopher_quality,
-        "c4_clean": q_c4_clean,
     }
 
 
