@@ -1320,6 +1320,22 @@ def q_dsir_resample(sf_dir: str):
     return dsir_resample(_documents(sf_dir), target_lang="en", k=100)
 
 
+def q_ccnet_perplexity(sf_dir: str):
+    """CCNet perplexity filter (arXiv:1911.00359 §4.3): hashed-bucket bigram
+    LM trained on the lang='en' reference slice, per-doc natural-log
+    perplexity, head/middle/tail tercile bucketing on the centi-nat
+    quantized score. Bounded count models, pure-map scoring, value-exact
+    SQL twin."""
+    from log_parser_ray.stages.lm import ccnet_perplexity
+
+    return ccnet_perplexity(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ),
+        ref_lang="en",
+    )
+
+
 def q_documents_jsonl_roundtrip(sf_dir: str):
     """NDJSON source roundtrip (the Dolma/C4-style interchange edge):
     export documents.parquet to mixed plain/.gz JSONL shards (test
@@ -1611,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_resample": q_dsir_resample,
         "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
         "incremental_dedup": q_incremental_dedup,
+        "ccnet_perplexity": q_ccnet_perplexity,
     }
 
 
@@ -1886,6 +1903,61 @@ def _dsir_oracle(k: int = 100, resample: bool = False) -> str:
               SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
               FROM documents d LEFT JOIN w USING (doc_id)),
             {extra.strip()}"""
+
+
+def _ccnet_oracle() -> str:
+    """SQL twin of the CCNet perplexity filter (stages/lm.py): hashed-bucket
+    bigram LM over the lang='en' slice, per-doc -mean ln P(w2|w1) rounded to
+    6, tercile bucketing on floor(log_ppl*100) with quantile_disc — the same
+    ln(num) - ln(den) form and round-half-even the engine computes."""
+    from log_parser_ray.stages.lm import ALPHA, N_BUCKETS
+
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
+              FROM documents),
+            pos AS (
+              SELECT doc_id, lang, ws,
+                     unnest(range(1, greatest(len(ws), 1))) AS i
+              FROM toks),
+            big AS (
+              SELECT doc_id, lang,
+                     substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 4) AS bb,
+                     substr(md5(ws[i]), 1, 4) AS cb
+              FROM pos),
+            bn AS (SELECT bb AS b, CAST(COUNT(*) AS BIGINT) AS bn
+                   FROM big WHERE lang = 'en' GROUP BY bb),
+            cnt_ctx AS (SELECT cb AS b, CAST(COUNT(*) AS BIGINT) AS cn
+                        FROM big WHERE lang = 'en' GROUP BY cb),
+            lp AS (
+              SELECT g.doc_id,
+                     ln(COALESCE(bn.bn, 0) + {ALPHA})
+                   - ln(COALESCE(cnt_ctx.cn, 0) + {ALPHA} * {N_BUCKETS}) AS lp
+              FROM big g
+              LEFT JOIN bn ON bn.b = g.bb
+              LEFT JOIN cnt_ctx ON cnt_ctx.b = g.cb),
+            sc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+                     round_even(-SUM(lp) / COUNT(*), 6) AS log_ppl
+              FROM lp GROUP BY doc_id),
+            alls AS (
+              SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big, sc.log_ppl
+              FROM documents d LEFT JOIN sc USING (doc_id)),
+            q AS (
+              SELECT doc_id, n_big, log_ppl,
+                     CAST(floor(log_ppl * 100) AS BIGINT) AS lq
+              FROM alls),
+            th AS (
+              SELECT quantile_disc(lq, 1.0/3) AS t1,
+                     quantile_disc(lq, 2.0/3) AS t2
+              FROM q WHERE n_big > 0)
+            SELECT q.doc_id, q.n_big, q.log_ppl,
+                   CASE WHEN q.n_big = 0 THEN 'empty'
+                        WHEN q.lq <= th.t1 THEN 'head'
+                        WHEN q.lq <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM q CROSS JOIN th"""
 
 
 def _curate_oracle(
@@ -2681,6 +2753,7 @@ def oracle_sql() -> dict[str, str]:
         # both engines.
         "dsir_weights": _dsir_oracle(k=100, resample=False),
         "dsir_resample": _dsir_oracle(k=100, resample=True),
+        "ccnet_perplexity": _ccnet_oracle(),
         # NDJSON roundtrip: the Ray side re-reads documents through mixed
         # plain/.gz JSONL shards; a value-hash match against the direct
         # parquet aggregate proves the JSON decode is lossless.

@@ -936,6 +936,95 @@ def test_dsir_resample_gumbel_topk(ray_session):
     pd.testing.assert_frame_equal(out2, out2b)
 
 
+def test_ccnet_perplexity_vs_bruteforce(ray_session):
+    """ccnet_perplexity equals a serial bigram-LM re-derivation (same md5
+    buckets, smoothing, rounding, quantile_disc tercile convention); docs
+    with < 2 tokens bucket as 'empty' with null log_ppl; block-layout
+    invariant."""
+    import hashlib
+    import math
+    import re as _re
+
+    from log_parser_ray.stages import lm
+
+    texts = [
+        "spark shuffle partitions and arrow batches flow",
+        "the quick brown fox jumps over the lazy dog",
+        "arrow batches stream through the object store",
+        "",            # token-less
+        "word",        # single token: no bigrams
+        "le renard brun rapide saute par dessus le chien",
+        "the lazy dog sleeps near the river bank",
+        "zzz qqq xxx vvv unseen grams everywhere here",
+        "the the the the the the",
+    ]
+    langs = ["en", "en", "en", "en", "en", "fr", "en", "fr", "en"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": langs,
+            }
+        )
+    ).repartition(3)
+    out = (
+        lm.ccnet_perplexity(ds, ref_lang="en")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+
+    N, A = lm.N_BUCKETS, lm.ALPHA
+    bn = np.zeros(N, np.int64)
+    cn = np.zeros(N, np.int64)
+    per_doc = []
+    for txt, lg in zip(texts, langs):
+        ws = _re.findall(r"[a-z0-9]+", txt.lower())
+        pairs = [(bucket(f"{a} {b}"), bucket(a)) for a, b in zip(ws, ws[1:])]
+        per_doc.append(pairs)
+        if lg == "en":
+            for bb, cb in pairs:
+                bn[bb] += 1
+                cn[cb] += 1
+    lnum = np.log(bn + A)
+    lden = np.log(cn + A * N)
+    want_n = np.array([len(p) for p in per_doc], np.int64)
+    want_lp = np.array(
+        [
+            np.round(-sum(lnum[bb] - lden[cb] for bb, cb in p) / len(p), 6)
+            if p else np.nan
+            for p in per_doc
+        ]
+    )
+    np.testing.assert_array_equal(out["n_big"].to_numpy(), want_n)
+    np.testing.assert_array_equal(
+        out["log_ppl"].to_numpy()[want_n > 0], want_lp[want_n > 0]
+    )
+    assert out.loc[want_n == 0, "log_ppl"].isna().all()
+    # terciles over quantized scores, quantile_disc nearest-rank convention
+    lq = np.floor(want_lp[want_n > 0] * 100).astype(np.int64)
+    vals = np.sort(lq)
+    n = len(vals)
+    t1, t2 = (vals[min(max(math.ceil(q * n), 1), n) - 1] for q in (1 / 3, 2 / 3))
+    want_bucket = [
+        "empty" if not p
+        else "head" if q <= t1
+        else "middle" if q <= t2
+        else "tail"
+        for p, q in zip(per_doc, np.floor(np.nan_to_num(want_lp) * 100))
+    ]
+    assert list(out["ppl_bucket"]) == want_bucket
+    assert set(out["ppl_bucket"]) >= {"empty", "head", "tail"}
+    # block-layout invariance
+    out2 = (
+        lm.ccnet_perplexity(ds.repartition(7), ref_lang="en")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_gopher_quality_rules(ray_session):
     """Each Gopher rule (arXiv:2112.11446 §A.1.1) trips on a crafted doc and
     the metrics match a hand computation."""
