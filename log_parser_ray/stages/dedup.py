@@ -1068,3 +1068,126 @@ def line_dedup(
         .empty_table()
     )
     return seed.union(out)
+
+
+def exact_substr_spans(
+    docs: "ray.data.Dataset", k: int = 8, min_tokens: int | None = None
+) -> "ray.data.Dataset":
+    """ExactSubstr-style repeated-passage detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022,
+    arXiv:2107.06499 §4.1), k-gram-anchored: a token position is
+    "duplicated" iff the k-gram starting there occurs >= 2 times in the
+    WHOLE corpus (across or within docs); maximal runs of consecutive
+    duplicated positions are the repeated spans (every span the suffix
+    array would find of length >= k is found, with start/end resolved to
+    k-gram granularity — the published approximation that trades the
+    non-distributable suffix array for two range shuffles).
+
+    Output: (doc_id, start_pos, end_pos, span_tokens) — 1-based inclusive
+    token positions per maximal span with span_tokens >= min_tokens
+    (default k). All-integer, hash-exact vs the SQL twin.
+
+    Scale shape (100-TB-first): docs explode in-task to (gram-hash, doc_id,
+    pos) rows — 64-bit md5 prefix per DISTINCT gram per batch, the text
+    itself never shuffles; duplicated grams come from a two-phase
+    grouped count (the shuffle carries one row per distinct gram per
+    block); membership is a task-based sort-merge LEFT SEMI join (nothing
+    broadcast — the dup set at crawl scale is itself huge); the
+    gaps-and-islands pass is group_safe_map on doc_id, one vectorized
+    numpy diff per block. Two tokenize passes over the corpus (count +
+    join sides), the decontaminate_join trade: recompute beats pinning an
+    exploded token stream in the object store."""
+    from log_parser_ray.stages.aggregate import (
+        group_safe_map,
+        grouped_count,
+        merge_join,
+    )
+    from log_parser_ray.stages.textops import _explode_terms
+
+    min_tokens = k if min_tokens is None else min_tokens
+
+    def occ_fn(t: pa.Table) -> pa.Table:
+        flat, parent = _explode_terms(t)
+        m = len(flat) - k + 1
+        if m <= 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        mask = parent[:m] == parent[k - 1:]
+        amask = pa.array(mask)
+        shifts = [flat.slice(i, m) for i in range(k)]
+        grams = pc.binary_join_element_wise(*shifts, " ").filter(amask)
+        gp = parent[:m][mask]
+        # token position of each gram start within its doc (1-based):
+        # parent is nondecreasing, so the first flat index of each doc is
+        # a searchsorted away
+        firsts = np.searchsorted(parent, parent, side="left")
+        pos = (np.arange(m, dtype=np.int64) - firsts[:m])[mask] + 1
+        enc = grams.dictionary_encode()
+        dict_h = np.array(
+            [
+                hashlib.md5(g.encode()).hexdigest()[:16]
+                for g in enc.dictionary.to_pylist()
+            ],
+            dtype=object,
+        )
+        h = dict_h[enc.indices.to_numpy(zero_copy_only=False)]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[gp]
+        return pa.table(
+            {
+                "h": pa.array(h, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    occ = docs.map_batches(occ_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts = grouped_count(occ, ["h"], alias="cnt")
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], 2)).select(["h"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    hits = merge_join(
+        occ, dup, on="h", how="left_semi",
+        left_schema=pa.schema(
+            [("h", pa.string()), ("doc_id", pa.int64()), ("pos", pa.int64())]
+        ),
+        right_schema=pa.schema([("h", pa.string())]),
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        ix = pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        ids = t["doc_id"].take(ix).to_numpy(zero_copy_only=False)
+        pos = t["pos"].take(ix).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "start_pos": pa.array([], pa.int64()),
+                    "end_pos": pa.array([], pa.int64()),
+                    "span_tokens": pa.array([], pa.int64()),
+                }
+            )
+        brk = np.flatnonzero((ids[1:] != ids[:-1]) | (pos[1:] != pos[:-1] + 1))
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk, [len(pos) - 1]])
+        sp = pos[starts]
+        ep = pos[ends] + k - 1
+        keep = (ep - sp + 1) >= min_tokens
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts][keep], pa.int64()),
+                "start_pos": pa.array(sp[keep], pa.int64()),
+                "end_pos": pa.array(ep[keep], pa.int64()),
+                "span_tokens": pa.array((ep - sp + 1)[keep], pa.int64()),
+            }
+        )
+
+    return group_safe_map(hits, ["doc_id"], spans)

@@ -207,3 +207,44 @@ parsed AS (
   ) y
 )
 """.strip()
+
+
+def extract_json_field(
+    ds,
+    column: str,
+    key: str,
+    out: str | None = None,
+    typ: pa.DataType = pa.int64(),
+):
+    """Semi-structured payload extraction: pull one scalar field out of a
+    flat-JSON string column (the ``props``-style payload attached to event
+    streams; the reference's analogue is the AWK k=v field grabs, e.g.
+    webAccessLogParser.sh:297-481's request-line token extraction).
+
+    One RE2 ``extract_regex`` kernel per batch over the zero-copy Arrow
+    column — no per-row ``json.loads``. Absent / non-matching keys yield
+    NULL (the DuckDB twin is ``NULLIF(regexp_extract(...), '')`` + CAST).
+    Scalar strings and numbers only; nested JSON is out of scope.
+
+    100-TB shape: stateless task map, output adds ONE narrow column;
+    callers should ``select_columns`` afterwards if the JSON blob itself
+    is no longer needed so the wide string column never shuffles.
+    """
+    out = out or key
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        pat = rf'"{key}"\s*:\s*"(?P<v>[^"]*)"'
+    else:
+        pat = rf'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?)'
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = pc.struct_field(pc.extract_regex(t[column], pat), "v")
+        if pa.types.is_integer(typ):
+            # RE2 has no lookahead, so "2.5" would match "2" under an
+            # integer-only pattern; extract the full numeric token instead
+            # and NULL out non-integral values before the narrowing cast
+            f = pc.cast(v, pa.float64())
+            f = pc.if_else(pc.equal(pc.floor(f), f), f, pa.scalar(None, pa.float64()))
+            return t.append_column(out, pc.cast(f, typ))
+        return t.append_column(out, pc.cast(v, typ))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -103,3 +103,24 @@ def test_login_session_extraction():
     t = parse_table(["login uid=u42"])
     assert t["login_uid"][0].as_py() == "u42"
     assert t["sink"][0].as_py() == "sessions"
+
+
+def test_extract_json_field(ray_session):
+    """Vectorized flat-JSON scalar extraction: ints (non-integral and
+    absent keys → NULL), floats, and strings; no per-row json.loads."""
+    import pyarrow as pa
+
+    from log_parser_ray.stages.parse import extract_json_field
+
+    props = ['{"k": 87}', '{"k": -3, "z": 1}', '{"z": 5}', None,
+             '{"k": 2.5}', '{"name": "bob", "k": 7}']
+    ds = rd.from_arrow(pa.table({"props": props})).repartition(3)
+    ints = extract_json_field(ds, "props", "k").to_pandas()["k"]
+    assert ints.tolist()[:2] == [87, -3] and ints.iloc[5] == 7
+    assert ints.isna().tolist() == [False, False, True, True, True, False]
+    flts = extract_json_field(ds, "props", "k", typ=pa.float64()).to_pandas()["k"]
+    assert flts.iloc[4] == 2.5 and flts.iloc[0] == 87.0
+    strs = extract_json_field(
+        ds, "props", "name", out="who", typ=pa.string()
+    ).to_pandas()["who"]
+    assert strs.tolist() == [None] * 5 + ["bob"]

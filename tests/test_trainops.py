@@ -1096,3 +1096,67 @@ def test_c4_clean_rules(ray_session):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_exact_substr_spans_vs_bruteforce(ray_session):
+    """ExactSubstr repeated-passage spans (arXiv:2107.06499 §4.1) match a
+    serial brute force: corpus-duplicated k-gram start positions merged
+    into maximal runs, 1-based inclusive token coords, min-length filter."""
+    import re as _re
+    from collections import Counter
+
+    k = 3
+    shared = "alpha beta gamma delta epsilon zeta"     # 6 tokens
+    texts = [
+        f"{shared} one two three",                     # span at 1..6
+        f"x y {shared} tail words here",               # span at 3..8
+        "self repeat self repeat self repeat done",    # within-doc repeats
+        "totally unique content with no duplicated runs at all",
+        "",                                            # empty doc
+    ]
+
+    def toks(t):
+        return _re.findall(textops.WORD_RE, t.lower())
+
+    grams = Counter()
+    per_doc = []
+    for t in texts:
+        w = toks(t)
+        g = [tuple(w[i : i + k]) for i in range(len(w) - k + 1)]
+        per_doc.append(g)
+        grams.update(g)
+    expect = set()
+    for d, g in enumerate(per_doc):
+        dup = [i + 1 for i, x in enumerate(g) if grams[x] >= 2]  # 1-based
+        runs, s = [], None
+        for j, p in enumerate(dup):
+            if s is None:
+                s = p
+            if j + 1 == len(dup) or dup[j + 1] != p + 1:
+                runs.append((s, p + k - 1))
+                s = None
+        for a, b in runs:
+            if b - a + 1 >= k:
+                expect.add((d, a, b, b - a + 1))
+
+    out = ddp.exact_substr_spans(docs_ds(texts), k=k).to_pandas()
+    got = set(
+        (int(r.doc_id), int(r.start_pos), int(r.end_pos), int(r.span_tokens))
+        for r in out.itertuples()
+    )
+    assert got == expect and len(expect) >= 3
+    # min_tokens filter raises the bar: only runs >= 6 tokens survive
+    out6 = ddp.exact_substr_spans(docs_ds(texts), k=k, min_tokens=6).to_pandas()
+    assert set(int(x) for x in out6["span_tokens"]) != set() \
+        and (out6["span_tokens"] >= 6).all()
+    # parallelism invariance
+    alt = ddp.exact_substr_spans(
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": texts})).repartition(7),
+        k=k,
+    ).to_pandas()
+    assert set(
+        (int(r.doc_id), int(r.start_pos), int(r.end_pos), int(r.span_tokens))
+        for r in alt.itertuples()
+    ) == expect
