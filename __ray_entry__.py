@@ -1371,6 +1371,79 @@ def q_exact_substr_spans(sf_dir: str):
     )
 
 
+def _synth_doc_urls(sf_dir: str) -> "ray.data.Dataset":
+    """Messy-URL synthesis per document, deterministic in (doc_id, source)
+    — the SQL twin is `_URL_SYNTH_CTE`. Each fold `urlops.canonical_url_array`
+    handles appears: mixed-case scheme/host, `www.` prefixes, default and
+    non-default ports, tracking params in both positions, trailing slashes,
+    fragments."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def istr(a):
+            return pc.cast(pa.array(a), pa.string())
+
+        def j(*parts):
+            return pc.binary_join_element_wise(*parts, "")
+
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        https = pa.array(d % 2 == 0)
+        scheme = pc.if_else(https, "https", "HTTP")
+        www = pc.if_else(pa.array(d % 3 == 0), "www.", "")
+        host = pc.if_else(
+            https, j(src, ".example.com"), j(src, ".Example.COM")
+        )
+        port = pc.if_else(
+            pa.array(d % 5 == 0), ":443",
+            pc.if_else(pa.array(d % 5 == 1), ":8080", ""),
+        )
+        path = j("/d/", istr(d % 5),
+                 pc.if_else(pa.array(d % 4 == 0), "/", ""))
+        query = pc.if_else(
+            pa.array(d % 3 == 0),
+            j("?utm_source=feed&id=", istr(d % 10)),
+            pc.if_else(
+                pa.array(d % 3 == 1),
+                j("?id=", istr(d % 10), "&utm_campaign=x"),
+                "",
+            ),
+        )
+        frag = pc.if_else(pa.array(d % 7 == 0), "#frag", "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": j(scheme, "://", www, host, port, path, query, frag),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_url_canonical(sf_dir: str):
+    """Per-document URL canonicalization (stages/urlops.py rules 1-6):
+    string-exact vs the SQL regexp twin for all 500 synthesized messy
+    URLs."""
+    from log_parser_ray.stages.urlops import canonicalize_urls
+
+    return canonicalize_urls(_synth_doc_urls(sf_dir), "url").select_columns(
+        ["doc_id", "url", "canonical_url"]
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-level exact dedup (the CCNet/RefinedWeb first pass): group by
+    canonical URL, emit group size + min-id survivor + max id. The synth
+    grammar folds ~12 messy variants onto each canonical URL."""
+    from log_parser_ray.stages.urlops import url_dedup
+
+    return url_dedup(_synth_doc_urls(sf_dir), "url", "doc_id")
+
+
 def q_documents_jsonl_roundtrip(sf_dir: str):
     """NDJSON source roundtrip (the Dolma/C4-style interchange edge):
     export documents.parquet to mixed plain/.gz JSONL shards (test
@@ -1669,6 +1742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "ccnet_perplexity": q_ccnet_perplexity,
         "knn_cosine": q_knn_cosine,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1975,6 +2050,56 @@ def _exact_substr_oracle(k: int = 8, min_tokens: int = 8) -> str:
             SELECT doc_id, start_pos, end_pos,
                    end_pos - start_pos + 1 AS span_tokens
             FROM sp WHERE end_pos - start_pos + 1 >= {min_tokens}"""
+
+
+_URL_PARTS_SQL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def _url_oracle(select: str) -> str:
+    """SQL twin of stages/urlops.py over `_synth_doc_urls`: the urls CTE
+    mirrors the Ray-side synth grammar token for token; canon applies the
+    identical RE2 folds (lowercased scheme/host, default-port and www
+    strip, fragment drop, tracking-param removal with separator repair,
+    trailing-slash strip) via regexp_extract group indexes 1-5 in the same
+    group order as urlops.URL_PARTS_RE."""
+    p = _URL_PARTS_SQL_RE
+    return f"""
+            WITH urls AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END
+                || '://'
+                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                || CASE WHEN doc_id % 2 = 0 THEN source || '.example.com'
+                        ELSE source || '.Example.COM' END
+                || CASE WHEN doc_id % 5 = 0 THEN ':443'
+                        WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+                || '/d/' || CAST(doc_id % 5 AS VARCHAR)
+                || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                || CASE WHEN doc_id % 3 = 0
+                        THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                        THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+              FROM documents),
+            qpart AS (
+              SELECT doc_id, url,
+                regexp_replace(regexp_replace(regexp_replace(
+                    regexp_extract(url, '{p}', 4),
+                    '^\\?', ''),
+                    '(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*&?', '', 'g'),
+                    '^&+|&+$', '', 'g') AS q
+              FROM urls),
+            canon AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url, '{p}', 1)) || '://'
+                || regexp_replace(regexp_replace(
+                     lower(regexp_extract(url, '{p}', 2)),
+                     ':(80|443)$', ''), '^www\\.', '')
+                || regexp_replace(regexp_extract(url, '{p}', 3), '/+$', '')
+                || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+              FROM qpart)
+            {select.strip()}"""
 
 
 def _ccnet_oracle() -> str:
@@ -2838,6 +2963,14 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _dsir_oracle(k=100, resample=True),
         "ccnet_perplexity": _ccnet_oracle(),
         "exact_substr_spans": _exact_substr_oracle(k=8, min_tokens=8),
+        "url_canonical": _url_oracle(
+            "SELECT doc_id, url, canonical_url FROM canon"
+        ),
+        "url_dedup": _url_oracle(
+            """SELECT canonical_url, COUNT(doc_id) AS n_dups,
+                      MIN(doc_id) AS survivor, MAX(doc_id) AS last_id
+               FROM canon GROUP BY canonical_url"""
+        ),
         # NDJSON roundtrip: the Ray side re-reads documents through mixed
         # plain/.gz JSONL shards; a value-hash match against the direct
         # parquet aggregate proves the JSON decode is lossless.

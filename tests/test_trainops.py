@@ -1160,3 +1160,54 @@ def test_exact_substr_spans_vs_bruteforce(ray_session):
         (int(r.doc_id), int(r.start_pos), int(r.end_pos), int(r.span_tokens))
         for r in alt.itertuples()
     ) == expect
+
+
+def test_url_canonicalization_rules(ray_session):
+    """Each documented fold of urlops.canonical_url_array, pinned string
+    for string; plus dedup grouping and parallelism invariance."""
+    from log_parser_ray.stages import urlops
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://WWW.Foo.COM/A/b", "http://foo.com/A/b"),       # case + www
+        ("https://foo.com:443/x", "https://foo.com/x"),         # default port
+        ("http://foo.com:80/x", "http://foo.com/x"),
+        ("https://foo.com:8080/x", "https://foo.com:8080/x"),   # kept port
+        ("https://foo.com/x/#frag", "https://foo.com/x"),       # frag+slash
+        ("https://foo.com/", "https://foo.com"),                # root folds
+        ("https://foo.com/a?utm_source=x&id=3", "https://foo.com/a?id=3"),
+        ("https://foo.com/a?id=3&utm_campaign=y", "https://foo.com/a?id=3"),
+        ("https://foo.com/a?gclid=z", "https://foo.com/a"),     # only-tracking
+        ("https://foo.com/a?fbclid=z&utm_x=1&id=2&utm_y=3",
+         "https://foo.com/a?id=2"),
+        ("https://foo.com/a?id=3&ID=4", "https://foo.com/a?id=3&ID=4"),
+        ("not a url", None),                                    # non-match
+        (None, None),
+    ]
+    got = urlops.canonical_url_array(
+        pa.array([c[0] for c in cases])
+    ).to_pylist()
+    assert got == [c[1] for c in cases]
+
+    # dedup groups all canonical-equal variants; min/max survivor ids
+    variants = [
+        "https://foo.com/a?utm_source=x&id=3",
+        "HTTPS://www.foo.com/a?id=3",
+        "https://foo.com:443/a?id=3&utm_campaign=y",
+        "https://other.com/b",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "url": variants})
+    )
+    for parts in (1, 3):
+        out = (
+            urlops.url_dedup(ds.repartition(parts), "url", "doc_id")
+            .to_pandas()
+            .sort_values("canonical_url")
+            .reset_index(drop=True)
+        )
+        assert out["canonical_url"].tolist() == [
+            "https://foo.com/a?id=3", "https://other.com/b"]
+        assert out["n_dups"].tolist() == [3, 1]
+        assert out["survivor"].tolist() == [0, 3]
+        assert out["last_id"].tolist() == [2, 3]
