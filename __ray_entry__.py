@@ -1371,6 +1371,20 @@ def q_exact_substr_spans(sf_dir: str):
     )
 
 
+def q_exact_substr_dedup(sf_dir: str):
+    """ExactSubstr dedup proper: cut every repeated span out of every doc
+    (all copies, token granularity). String-exact vs the SQL twin on the
+    rebuilt text plus an all-integer removed-token count."""
+    from log_parser_ray.stages.dedup import exact_substr_dedup
+
+    return exact_substr_dedup(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        k=8,
+    )
+
+
 def _synth_doc_urls(sf_dir: str) -> "ray.data.Dataset":
     """Messy-URL synthesis per document, deterministic in (doc_id, source)
     — the SQL twin is `_URL_SYNTH_CTE`. Each fold `urlops.canonical_url_array`
@@ -1659,7 +1673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by minhash_clusters below, so the slot buys a NEW dedup surface
         "line_dedup": q_line_dedup,
         "minhash_clusters": q_minhash_clusters,
-        "cosine_near_dups": q_cosine_near_dups,
+        # embedding near-dup stays in-window via minhash_clusters +
+        # knn_ivf_exhaustive; cosine_near_dups rotates past the window
+        # (still judge-oracle-checked) so the URL-level dedup pass — the
+        # web-crawl pipeline's FIRST dedup stage — is driver-visible
+        "url_dedup": q_url_dedup,
         # exact-kNN semantics stay in-window via knn_ivf_exhaustive
         # (nprobe=n_clusters => exact, same oracle); the freed slot goes to
         # the ExactSubstr repeated-passage dedup — knn_cosine itself sits
@@ -1743,7 +1761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_perplexity": q_ccnet_perplexity,
         "knn_cosine": q_knn_cosine,
         "url_canonical": q_url_canonical,
-        "url_dedup": q_url_dedup,
+        "cosine_near_dups": q_cosine_near_dups,
+        "exact_substr_dedup": q_exact_substr_dedup,
     }
 
 
@@ -2021,12 +2040,12 @@ def _dsir_oracle(k: int = 100, resample: bool = False) -> str:
             {extra.strip()}"""
 
 
-def _exact_substr_oracle(k: int = 8, min_tokens: int = 8) -> str:
-    """SQL twin of dedup.exact_substr_spans: k-grams via 1-based list
-    slices, 64-bit md5-prefix hash, HAVING count>=2 dup set, and the
-    row_number gaps-and-islands span rebuild."""
+def _exact_substr_ctes(k: int, min_tokens: int) -> str:
+    """Shared CTE chain for the ExactSubstr twins: k-grams via 1-based list
+    slices, 64-bit md5-prefix hash, HAVING count>=2 dup set, the row_number
+    gaps-and-islands span rebuild, and the min-length filter (spansf)."""
     return f"""
-            WITH toks AS (
+            toks AS (
               SELECT doc_id,
                      regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
               FROM documents),
@@ -2046,10 +2065,46 @@ def _exact_substr_oracle(k: int = 8, min_tokens: int = 8) -> str:
               FROM hits),
             sp AS (
               SELECT doc_id, MIN(i) AS start_pos, MAX(i) + {k - 1} AS end_pos
-              FROM isl GROUP BY doc_id, grp)
-            SELECT doc_id, start_pos, end_pos,
-                   end_pos - start_pos + 1 AS span_tokens
-            FROM sp WHERE end_pos - start_pos + 1 >= {min_tokens}"""
+              FROM isl GROUP BY doc_id, grp),
+            spansf AS (
+              SELECT doc_id, start_pos, end_pos,
+                     end_pos - start_pos + 1 AS span_tokens
+              FROM sp WHERE end_pos - start_pos + 1 >= {min_tokens})"""
+
+
+def _exact_substr_oracle(k: int = 8, min_tokens: int = 8) -> str:
+    """SQL twin of dedup.exact_substr_spans."""
+    return f"""
+            WITH {_exact_substr_ctes(k, min_tokens)}
+            SELECT doc_id, start_pos, end_pos, span_tokens FROM spansf"""
+
+
+def _exact_substr_dedup_oracle(k: int = 8, min_tokens: int = 8) -> str:
+    """SQL twin of dedup.exact_substr_dedup: every token position not
+    covered by a span survives; kept tokens rebuild the normalized text in
+    position order; n_removed = total - kept (0 for untouched docs)."""
+    return f"""
+            WITH {_exact_substr_ctes(k, min_tokens)},
+            tokpos AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+              FROM toks),
+            kept AS (
+              SELECT t.doc_id, t.i, t.ws[t.i] AS w
+              FROM tokpos t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spansf s
+                WHERE s.doc_id = t.doc_id
+                  AND t.i BETWEEN s.start_pos AND s.end_pos)),
+            agg AS (
+              SELECT doc_id,
+                     array_to_string(list(w ORDER BY i), ' ') AS text_dedup,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(a.text_dedup, '') AS text_dedup,
+                   CAST(len(t.ws) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM toks t LEFT JOIN agg a USING (doc_id)"""
 
 
 _URL_PARTS_SQL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
@@ -2963,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _dsir_oracle(k=100, resample=True),
         "ccnet_perplexity": _ccnet_oracle(),
         "exact_substr_spans": _exact_substr_oracle(k=8, min_tokens=8),
+        "exact_substr_dedup": _exact_substr_dedup_oracle(k=8, min_tokens=8),
         "url_canonical": _url_oracle(
             "SELECT doc_id, url, canonical_url FROM canon"
         ),

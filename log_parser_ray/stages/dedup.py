@@ -1088,11 +1088,15 @@ def exact_substr_spans(
     (default k). All-integer, hash-exact vs the SQL twin.
 
     Scale shape (100-TB-first): docs explode in-task to (gram-hash, doc_id,
-    pos) rows — 64-bit md5 prefix per DISTINCT gram per batch, the text
-    itself never shuffles; duplicated grams come from a two-phase
-    grouped count (the shuffle carries one row per distinct gram per
-    block); membership is a task-based sort-merge LEFT SEMI join (nothing
-    broadcast — the dup set at crawl scale is itself huge); the
+    pos) rows — the 64-bit gram hash is a vectorized polynomial combine of
+    cached per-distinct-token md5 hashes (no gram string is ever
+    materialized; the SQL twin hashes the gram string with md5 instead,
+    which is equivalent because both hashes are collision-free at 64 bits
+    w.p. 1-ε and the comparison is over the FINAL spans, not the hashes),
+    and the text itself never shuffles; duplicated grams come from a
+    two-phase grouped count (the shuffle carries one row per distinct gram
+    per block); membership is a task-based sort-merge LEFT SEMI join
+    (nothing broadcast — the dup set at crawl scale is itself huge); the
     gaps-and-islands pass is group_safe_map on doc_id, one vectorized
     numpy diff per block. Two tokenize passes over the corpus (count +
     join sides), the decontaminate_join trade: recompute beats pinning an
@@ -1106,40 +1110,42 @@ def exact_substr_spans(
 
     min_tokens = k if min_tokens is None else min_tokens
 
+    _POLY_BASE = np.uint64(1099511628211)  # FNV-1a prime as mixing base
+
     def occ_fn(t: pa.Table) -> pa.Table:
         flat, parent = _explode_terms(t)
         m = len(flat) - k + 1
         if m <= 0:
             return pa.table(
                 {
-                    "h": pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
                     "doc_id": pa.array([], pa.int64()),
                     "pos": pa.array([], pa.int64()),
                 }
             )
         mask = parent[:m] == parent[k - 1:]
-        amask = pa.array(mask)
-        shifts = [flat.slice(i, m) for i in range(k)]
-        grams = pc.binary_join_element_wise(*shifts, " ").filter(amask)
         gp = parent[:m][mask]
         # token position of each gram start within its doc (1-based):
         # parent is nondecreasing, so the first flat index of each doc is
         # a searchsorted away
         firsts = np.searchsorted(parent, parent, side="left")
         pos = (np.arange(m, dtype=np.int64) - firsts[:m])[mask] + 1
-        enc = grams.dictionary_encode()
-        dict_h = np.array(
-            [
-                hashlib.md5(g.encode()).hexdigest()[:16]
-                for g in enc.dictionary.to_pylist()
-            ],
-            dtype=object,
-        )
-        h = dict_h[enc.indices.to_numpy(zero_copy_only=False)]
+        # 64-bit gram hash without materializing gram strings: md5 once per
+        # DISTINCT token (worker-cached), then a vectorized polynomial
+        # combine over the k-window (k numpy ops, wrapping mod 2^64)
+        enc = flat.dictionary_encode()
+        dict_h = _hash_tokens(enc.dictionary.to_pylist())
+        th = dict_h[enc.indices.to_numpy(zero_copy_only=False)]
+        acc = np.zeros(m, dtype=np.uint64)
+        mult = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc += th[j : j + m] * mult
+                mult = mult * _POLY_BASE
         ids = t["doc_id"].to_numpy(zero_copy_only=False)[gp]
         return pa.table(
             {
-                "h": pa.array(h, pa.string()),
+                "h": pa.array(acc[mask], pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
                 "pos": pa.array(pos, pa.int64()),
             }
@@ -1155,9 +1161,9 @@ def exact_substr_spans(
     hits = merge_join(
         occ, dup, on="h", how="left_semi",
         left_schema=pa.schema(
-            [("h", pa.string()), ("doc_id", pa.int64()), ("pos", pa.int64())]
+            [("h", pa.uint64()), ("doc_id", pa.int64()), ("pos", pa.int64())]
         ),
-        right_schema=pa.schema([("h", pa.string())]),
+        right_schema=pa.schema([("h", pa.uint64())]),
     )
 
     def spans(t: pa.Table) -> pa.Table:
@@ -1191,3 +1197,105 @@ def exact_substr_spans(
         )
 
     return group_safe_map(hits, ["doc_id"], spans)
+
+
+def exact_substr_dedup(
+    docs: "ray.data.Dataset", k: int = 8, min_tokens: int | None = None
+) -> "ray.data.Dataset":
+    """ExactSubstr dedup proper (arXiv:2107.06499 §4.1): CUT the repeated
+    spans found by `exact_substr_spans` out of every document (all copies —
+    the paper's released dedup tool removes every occurrence of a
+    duplicated substring; surviving context keeps the meaning once).
+
+    Output: (doc_id, text_dedup, n_removed) for EVERY input doc —
+    ``text_dedup`` is the document's lowercased token stream minus the
+    covered positions, space-joined (the paper cuts raw bytes; this
+    engine's RE2 tokenizer is offset-free, so the cut is at token
+    granularity and the output is the normalized token text — documented,
+    and what a train-ready corpus wants anyway), ``n_removed`` the count
+    of removed tokens (0 for untouched docs).
+
+    Scale shape: spans (tiny: one row per repeated run) union the docs
+    stream tagged, then ONE group_safe_map on doc_id does the cut — per
+    block it explodes the doc texts once, marks covered positions with a
+    numpy prefix-sum interval trick (no per-span loop), and rebuilds the
+    kept text with one Arrow ``binary_join`` over a ListArray. The corpus
+    is tokenized three times total (spans' two passes + the cut) — the
+    recompute-over-pinning trade again."""
+    from log_parser_ray.stages.aggregate import group_safe_map
+    from log_parser_ray.stages.textops import _explode_terms
+
+    spans = exact_substr_spans(docs, k=k, min_tokens=min_tokens)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "start_pos": pa.nulls(t.num_rows, pa.int64()),
+                "end_pos": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "start_pos": t["start_pos"],
+                "end_pos": t["end_pos"],
+            }
+        )
+
+    tagged = docs.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        spans.map_batches(
+            tag_spans, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(tbl["text"])
+        d = tbl.filter(is_doc)
+        s = tbl.filter(pc.invert(is_doc))
+        if d.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                    "n_removed": pa.array([], pa.int64()),
+                }
+            )
+        flat, parent = _explode_terms(d)
+        nf = len(flat)
+        counts = np.bincount(parent, minlength=d.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        covered = np.zeros(nf, dtype=bool)
+        if s.num_rows and nf:
+            ids = d["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            sid = s["doc_id"].to_numpy(zero_copy_only=False)
+            row = order[np.searchsorted(ids[order], sid)]
+            gs = offsets[row] + s["start_pos"].to_numpy(
+                zero_copy_only=False
+            ) - 1
+            ge = offsets[row] + s["end_pos"].to_numpy(zero_copy_only=False)
+            delta = np.zeros(nf + 1, dtype=np.int64)
+            np.add.at(delta, gs, 1)
+            np.add.at(delta, ge, -1)
+            covered = np.cumsum(delta[:nf]) > 0
+        keep = ~covered
+        kept_flat = flat.filter(pa.array(keep))
+        kept_counts = np.bincount(parent[keep], minlength=d.num_rows)
+        koff = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(koff, pa.int32()), kept_flat)
+        return pa.table(
+            {
+                "doc_id": d["doc_id"],
+                "text_dedup": pc.binary_join(lst, " "),
+                "n_removed": pa.array(counts - kept_counts, pa.int64()),
+            }
+        )
+
+    return group_safe_map(tagged, ["doc_id"], cut)

@@ -1211,3 +1211,69 @@ def test_url_canonicalization_rules(ray_session):
         assert out["n_dups"].tolist() == [3, 1]
         assert out["survivor"].tolist() == [0, 3]
         assert out["last_id"].tolist() == [2, 3]
+
+
+def test_exact_substr_dedup_vs_bruteforce(ray_session):
+    """exact_substr_dedup cuts every covered token (all copies) and keeps
+    the rest in order; untouched and empty docs come through with
+    n_removed=0; parallelism-invariant."""
+    import re as _re
+    from collections import Counter
+
+    k = 3
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"{shared} one two three",
+        f"x y {shared} tail words here",
+        "self repeat self repeat self repeat done",
+        "totally unique content with no duplicated runs at all",
+        "",
+    ]
+
+    def toks(t):
+        return _re.findall(textops.WORD_RE, t.lower())
+
+    grams = Counter()
+    per_doc = []
+    for t in texts:
+        w = toks(t)
+        g = [tuple(w[i : i + k]) for i in range(len(w) - k + 1)]
+        per_doc.append((w, g))
+        grams.update(g)
+    expect = {}
+    for d, (w, g) in enumerate(per_doc):
+        dup = [i for i, x in enumerate(g) if grams[x] >= 2]  # 0-based starts
+        covered = set()
+        runs, s = [], None
+        for j, p in enumerate(dup):
+            if s is None:
+                s = p
+            if j + 1 == len(dup) or dup[j + 1] != p + 1:
+                runs.append((s, p + k - 1))
+                s = None
+        for a, b in runs:
+            if b - a + 1 >= k:
+                covered.update(range(a, b + 1))
+        kept = [w[i] for i in range(len(w)) if i not in covered]
+        expect[d] = (" ".join(kept), len(w) - len(kept))
+
+    for parts in (3, 7):
+        out = (
+            ddp.exact_substr_dedup(
+                ray.data.from_arrow(
+                    pa.table(
+                        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+                         "text": texts}
+                    )
+                ).repartition(parts),
+                k=k,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert len(out) == len(texts)
+        for d in range(len(texts)):
+            assert out.loc[d, "text_dedup"] == expect[d][0], d
+            assert int(out.loc[d, "n_removed"]) == expect[d][1], d
+    assert expect[3][1] == 0 and expect[4][1] == 0   # untouched + empty
+    assert expect[0][1] > 0 and expect[2][1] > 0     # cross- and within-doc
