@@ -1385,6 +1385,54 @@ def q_exact_substr_dedup(sf_dir: str):
     )
 
 
+_MIX_WEIGHTS = {f"src{i}": 2.0 if i % 2 == 0 else 1.0 for i in range(20)}
+_MIX_BUDGET = 15_000
+
+
+def q_mix_corpus(sf_dir: str):
+    """Weighted source mixing to a token budget (Pile/Dolma mixing step):
+    even-indexed sources weighted 2×, 15k-token budget, md5-hash admission
+    order. All-integer (doc_id, source, n_tokens, cum_tokens) — hash-exact
+    vs the window-SUM SQL twin."""
+    from log_parser_ray.stages.sketch import mix_corpus
+
+    return mix_corpus(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        ),
+        _MIX_WEIGHTS,
+        _MIX_BUDGET,
+    )
+
+
+def _mix_corpus_oracle() -> str:
+    """SQL twin of sketch.mix_corpus at the q_mix_corpus parameters: the
+    identical md5-hash admission order, per-source window running total,
+    and the same floor(w/Σw × budget) allocations inlined as the CASE."""
+    total_w = sum(_MIX_WEIGHTS.values())
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(w / total_w * _MIX_BUDGET)}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+            WITH tl AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '{textops.WORD_RE}')) AS BIGINT) AS n_tokens,
+                     substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8) AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tl)
+            SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+            FROM c
+            WHERE cum - n_tokens < CASE source {cases} ELSE 0 END"""
+
+
 def _synth_doc_urls(sf_dir: str) -> "ray.data.Dataset":
     """Messy-URL synthesis per document, deterministic in (doc_id, source)
     — the SQL twin is `_URL_SYNTH_CTE`. Each fold `urlops.canonical_url_array`
@@ -1763,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": q_url_canonical,
         "cosine_near_dups": q_cosine_near_dups,
         "exact_substr_dedup": q_exact_substr_dedup,
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -3019,6 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_perplexity": _ccnet_oracle(),
         "exact_substr_spans": _exact_substr_oracle(k=8, min_tokens=8),
         "exact_substr_dedup": _exact_substr_dedup_oracle(k=8, min_tokens=8),
+        "mix_corpus": _mix_corpus_oracle(),
         "url_canonical": _url_oracle(
             "SELECT doc_id, url, canonical_url FROM canon"
         ),

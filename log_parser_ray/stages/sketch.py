@@ -406,3 +406,105 @@ def heavy_hitters(
     full = grouped_count(ds.select_columns([col]), [col], alias="n").to_pandas()
     full = full.sort_values(["n", col], ascending=[False, True], kind="stable")
     return full.head(k).reset_index(drop=True)
+
+
+def mix_corpus(
+    docs: "ray.data.Dataset",
+    weights: Mapping[str, float],
+    token_budget: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> "ray.data.Dataset":
+    """Deterministic weighted source mixing to a token budget — the
+    Pile/Dolma "mixing" step (arXiv:2101.00027 §1, arXiv:2402.00159 §3.4):
+    source s gets an allocation of floor(weights[s]/Σweights × budget)
+    tokens; its docs are admitted in md5-hash order (a deterministic
+    shuffle, the sample_by_hash convention) while the source's running
+    token total BEFORE the doc is under the allocation — each source
+    overshoots by at most one document, and a rerun/resume admits the
+    identical subset. Sources absent from ``weights`` contribute nothing.
+
+    Output: admitted (doc_id, source, n_tokens, cum_tokens), cum_tokens
+    the within-source running total including the doc.
+
+    Scale shape: one narrow projection (id, source, hash, token count —
+    the text never leaves the reading task); ``ordered_prefix_sum``'s
+    two-phase scan moves ONE number per block to the driver; the
+    per-source offsets that convert the global running total to
+    within-source totals come from a grouped max over the already-computed
+    scan output (|sources| rows — a corpus has dozens of sources, not
+    millions); admission is a stateless vectorized filter."""
+    from log_parser_ray.stages.aggregate import grouped_stats, ordered_prefix_sum
+    from log_parser_ray.stages.textops import WORD_RE
+
+    total_w = sum(weights.values())
+    alloc = {s: int(w / total_w * token_budget) for s, w in weights.items()}
+    suffix = "|" + salt
+
+    def narrow_fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = pa.array(
+            [
+                hashlib.md5((str(i) + suffix).encode()).hexdigest()[:8]
+                for i in ids
+            ],
+            pa.string(),
+        )
+        n_tok = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(t[text_col]), WORD_RE),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                source_col: t[source_col],
+                "h": h,
+                "n_tokens": n_tok,
+            }
+        )
+
+    narrow = docs.map_batches(
+        narrow_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cum = ordered_prefix_sum(
+        narrow, [source_col, "h", id_col], "n_tokens", alias="cum"
+    )
+
+    # global→within-source offsets: previous sources' grand totals in the
+    # scan's own (ascending source) order
+    mx = (
+        grouped_stats(cum, [source_col], "cum", count=None, max_="mx")
+        .to_pandas()
+        .sort_values(source_col)
+        .reset_index(drop=True)
+    )
+    srcs = mx[source_col].tolist()
+    # offset[s_i] = max global cum of s_{i-1} (the scan is contiguous per
+    # source, so the previous source's last cum IS the exclusive prefix)
+    offs = np.concatenate(([0], mx["mx"].to_numpy()[:-1]))
+    src_arr = pa.array(srcs, pa.string())
+    off_arr = np.asarray(offs, dtype=np.int64)
+    alloc_arr = np.array([alloc.get(s, 0) for s in srcs], dtype=np.int64)
+
+    def admit(t: pa.Table) -> pa.Table:
+        code = pc.index_in(t[source_col], value_set=src_arr).to_numpy(
+            zero_copy_only=False
+        )
+        g = t["cum"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        within = g - off_arr[code]
+        keep = (within - n) < alloc_arr[code]
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                source_col: t[source_col],
+                "n_tokens": t["n_tokens"],
+                "cum_tokens": pa.array(within, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return cum.map_batches(admit, batch_format="pyarrow", zero_copy_batch=True)

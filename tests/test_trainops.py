@@ -1277,3 +1277,59 @@ def test_exact_substr_dedup_vs_bruteforce(ray_session):
             assert int(out.loc[d, "n_removed"]) == expect[d][1], d
     assert expect[3][1] == 0 and expect[4][1] == 0   # untouched + empty
     assert expect[0][1] > 0 and expect[2][1] > 0     # cross- and within-doc
+
+
+def test_mix_corpus_vs_bruteforce(ray_session):
+    """mix_corpus admits per-source hash-ordered prefixes that match a
+    serial simulation: allocation floor(w/Σw·B), admission while the
+    running total BEFORE the doc is under it (≤ one-doc overshoot),
+    absent sources dropped, parallelism-invariant."""
+    import hashlib as _hl
+    import re as _re
+
+    from log_parser_ray.stages.sketch import mix_corpus
+
+    texts, srcs = [], []
+    for i in range(60):
+        srcs.append(f"s{i % 3}")
+        texts.append(" ".join(f"w{j}" for j in range(i % 7 + 1)))  # 1..7 toks
+    t = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()),
+         "source": srcs, "text": texts}
+    )
+    weights, budget = {"s0": 3.0, "s1": 1.0}, 40  # s2 absent -> dropped
+    total_w = sum(weights.values())
+    alloc = {s: int(w / total_w * budget) for s, w in weights.items()}
+
+    def ntok(x):
+        return len(_re.findall(textops.WORD_RE, x.lower()))
+
+    expect = set()
+    for s in sorted(set(srcs)):
+        rows = [
+            (_hl.md5((str(d) + "|mix").encode()).hexdigest()[:8], d)
+            for d in range(60) if srcs[d] == s
+        ]
+        cum = 0
+        for h, d in sorted(rows):
+            n = ntok(texts[d])
+            if cum < alloc.get(s, 0):
+                expect.add((d, s, n, cum + n))
+            cum += n
+
+    for parts in (1, 5):
+        out = mix_corpus(
+            ray.data.from_arrow(t).repartition(parts), weights, budget
+        ).to_pandas()
+        got = set(
+            (int(r.doc_id), r.source, int(r.n_tokens), int(r.cum_tokens))
+            for r in out.itertuples()
+        )
+        assert got == expect
+    assert expect and not any(s == "s2" for _, s, _, _ in expect)
+    # within-allocation totals: at most one-doc overshoot per source
+    for s in ("s0", "s1"):
+        tot = sum(n for _, ss, n, _ in expect if ss == s)
+        assert tot - max(
+            (n for _, ss, n, _ in expect if ss == s), default=0
+        ) < alloc[s]
