@@ -1294,6 +1294,16 @@ def q_knn_ivf_exhaustive(sf_dir: str):
     )
 
 
+def q_knn_srp(sf_dir: str):
+    """SRP-LSH (random-hyperplane) bucketed ANN top-5 — the LSH scale path
+    next to IVF (rows-only; tests pin recall vs brute force and the
+    n_bits=0 exact degeneration)."""
+    qids, qm = sim.load_queries(sf_dir, n_queries=5)
+    return sim.knn_srp(
+        _embeddings(sf_dir), qids, qm, k=5, n_bits=8, n_tables=6
+    )
+
+
 def q_curate_report(sf_dir: str):
     """Training-data curation pipeline end-to-end: exact dedup → near-dup
     cluster representative → quality filter → per-doc disposition (rows-only;
@@ -1812,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": q_cosine_near_dups,
         "exact_substr_dedup": q_exact_substr_dedup,
         "mix_corpus": q_mix_corpus,
+        "knn_srp": q_knn_srp,
     }
 
 

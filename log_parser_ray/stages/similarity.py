@@ -517,3 +517,93 @@ def semantic_dedup(
     from log_parser_ray.stages.aggregate import group_safe_map
 
     return group_safe_map(rows, ["cluster"], prune)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (random-hyperplane) bucketed ANN — the LSH scale path next to IVF
+
+
+def srp_planes(
+    dim: int, n_bits: int, n_tables: int, seed: int = 42
+) -> list[np.ndarray]:
+    """n_tables independent (dim, n_bits) Gaussian hyperplane sets, seeded."""
+    rs = np.random.RandomState(seed)
+    return [rs.standard_normal((dim, n_bits)) for _ in range(n_tables)]
+
+
+def srp_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Signed-random-projection bucket code per row: sign bits of the
+    projections packed into one uint64 (Charikar 2002 §3; P[bit match] =
+    1 - angle/pi, so near-duplicate vectors collide in whole codes)."""
+    bits = (m @ planes) >= 0.0
+    w = np.uint64(1) << np.arange(planes.shape[1], dtype=np.uint64)
+    return (bits.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
+
+
+def knn_srp(
+    emb: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 5,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """LSH-bucketed approximate kNN: a vector is a candidate for a query
+    iff they share a bucket code in ANY of ``n_tables`` SRP tables; only
+    candidates get the exact cosine re-rank. ``n_bits=0`` degenerates to
+    one global bucket — exact brute force (pinned against knn_bruteforce
+    in tests). Recall rises with n_tables and falls with n_bits; the
+    (12, 4) default targets high-sim neighbors (the near-dup regime).
+
+    Scale shape: the planes and the per-table query codes are broadcast
+    (a few KB); each block computes its rows' codes with one matmul per
+    table and re-ranks ONLY bucket-matched rows, so at crawl scale the
+    per-block cost is the code matmuls plus a candidate-sized matmul
+    instead of the full block × query product; ≤ k·blocks·queries rows
+    reach the driver merge (same as knn_bruteforce)."""
+    qn = _normalize(queries)
+    planes = srp_planes(qn.shape[1], n_bits, n_tables, seed) if n_bits else []
+    qcodes = [srp_codes(qn, p) for p in planes]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(t["embedding"]))
+        codes = [srp_codes(m, p) for p in planes]
+        out_q, out_v, out_s = [], [], []
+        for j in range(qn.shape[0]):
+            if planes:
+                mask = np.zeros(len(ids), dtype=bool)
+                for c, qc in zip(codes, qcodes):
+                    mask |= c == qc[j]
+            else:
+                mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != query_ids[j]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ qn[j]
+            top = np.lexsort((ids[cand], -s))[:k]
+            out_q.extend([query_ids[j]] * len(top))
+            out_v.extend(ids[cand][top])
+            out_s.extend(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = emb.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = cand.to_pandas()
+    df = df.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["sim"] = df["sim"].round(6)
+    return df.reset_index(drop=True)

@@ -1333,3 +1333,30 @@ def test_mix_corpus_vs_bruteforce(ray_session):
         assert tot - max(
             (n for _, ss, n, _ in expect if ss == s), default=0
         ) < alloc[s]
+
+
+def test_knn_srp_recall_and_exact_degeneration(ray_session):
+    """SRP-LSH ANN: high recall vs brute force on clustered data with the
+    near-dup defaults; n_bits=0 (one global bucket) reproduces the exact
+    brute-force result row for row; deterministic across runs."""
+    rs = np.random.RandomState(7)
+    centers = rs.standard_normal((5, 16)) * 4
+    m = np.vstack([c + 0.1 * rs.standard_normal((40, 16)) for c in centers])
+    ds = emb_ds(m)
+    qids = np.array([0, 50, 100])
+    qm = m[[0, 50, 100]].astype(np.float64)
+    brute = sim.knn_bruteforce(ds, qids, qm, k=5)
+    srp = sim.knn_srp(ds, qids, qm, k=5, n_bits=10, n_tables=6)
+    recall = len(
+        set(zip(srp["query_id"], srp["vec_id"]))
+        & set(zip(brute["query_id"], brute["vec_id"]))
+    ) / len(brute)
+    assert recall >= 0.8
+    # determinism: seeded planes → identical output
+    srp2 = sim.knn_srp(ds, qids, qm, k=5, n_bits=10, n_tables=6)
+    pd.testing.assert_frame_equal(srp, srp2)
+    # n_bits=0 → one bucket → exact
+    exact = sim.knn_srp(ds, qids, qm, k=5, n_bits=0, n_tables=1)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), brute.reset_index(drop=True)
+    )
