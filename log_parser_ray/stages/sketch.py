@@ -475,12 +475,13 @@ def mix_corpus(
 
     # global→within-source offsets: previous sources' grand totals in the
     # scan's own (ascending source) order
-    mx = (
-        grouped_stats(cum, [source_col], "cum", count=None, max_="mx")
-        .to_pandas()
-        .sort_values(source_col)
-        .reset_index(drop=True)
-    )
+    import pandas as pd
+
+    mx = grouped_stats(cum, [source_col], "cum", count=None, max_="mx").to_pandas()
+    if source_col not in mx.columns:  # all-empty Dataset drops the schema
+        mx = pd.DataFrame({source_col: pd.Series([], dtype=str),
+                           "mx": pd.Series([], dtype="int64")})
+    mx = mx.sort_values(source_col).reset_index(drop=True)
     srcs = mx[source_col].tolist()
     # offset[s_i] = max global cum of s_{i-1} (the scan is contiguous per
     # source, so the previous source's last cum IS the exclusive prefix)
@@ -490,6 +491,15 @@ def mix_corpus(
     alloc_arr = np.array([alloc.get(s, 0) for s in srcs], dtype=np.int64)
 
     def admit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    source_col: pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "cum_tokens": pa.array([], pa.int64()),
+                }
+            )
         code = pc.index_in(t[source_col], value_set=src_arr).to_numpy(
             zero_copy_only=False
         )
@@ -507,4 +517,18 @@ def mix_corpus(
         )
         return out.filter(pa.array(keep))
 
-    return cum.map_batches(admit, batch_format="pyarrow", zero_copy_batch=True)
+    # schema-stable under an all-empty corpus (the line_dedup seed trick:
+    # an empty typed table unioned in keeps to_pandas from dropping columns)
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                source_col: pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "cum_tokens": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return seed.union(
+        cum.map_batches(admit, batch_format="pyarrow", zero_copy_batch=True)
+    )

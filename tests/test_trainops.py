@@ -1360,3 +1360,20 @@ def test_knn_srp_recall_and_exact_degeneration(ray_session):
     pd.testing.assert_frame_equal(
         exact.reset_index(drop=True), brute.reset_index(drop=True)
     )
+
+
+def test_mix_corpus_empty_corpus(ray_session):
+    """An empty corpus mixes to an empty, correctly-typed result."""
+    from log_parser_ray.stages.sketch import mix_corpus
+
+    t = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "source": pa.array([], pa.string()),
+         "text": pa.array([], pa.string())}
+    )
+    out = mix_corpus(ray.data.from_arrow(t), {"s0": 1.0}, 100)
+    # the typed seed keeps the Dataset schema intact (Ray's to_pandas on
+    # zero rows still yields a column-less frame — the documented quirk
+    # consumers guard; the schema is what joins/writes downstream see)
+    assert out.schema().names == ["doc_id", "source", "n_tokens", "cum_tokens"]
+    assert out.count() == 0 and len(out.to_pandas()) == 0
