@@ -601,6 +601,17 @@ def knn_srp(
         local_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     df = cand.to_pandas()
+    if "query_id" not in df.columns:
+        # zero candidates anywhere (no bucket matched any query) leaves only
+        # Ray's column-less empty blocks — a REAL path at high n_bits, not
+        # just the empty-input edge
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
     df = df.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
     )

@@ -1377,3 +1377,16 @@ def test_mix_corpus_empty_corpus(ray_session):
     # consumers guard; the schema is what joins/writes downstream see)
     assert out.schema().names == ["doc_id", "source", "n_tokens", "cum_tokens"]
     assert out.count() == 0 and len(out.to_pandas()) == 0
+
+
+def test_knn_srp_no_candidates(ray_session):
+    """At very high n_bits random vectors collide in no table — the
+    operator returns an empty typed frame instead of crashing on Ray's
+    column-less empty blocks."""
+    rs = np.random.RandomState(11)
+    m = rs.standard_normal((50, 16))
+    out = sim.knn_srp(
+        emb_ds(m), np.array([0]), m[[0]], k=3, n_bits=50, n_tables=1
+    )
+    assert list(out.columns) == ["query_id", "vec_id", "sim"]
+    assert len(out) == 0
