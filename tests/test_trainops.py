@@ -1390,3 +1390,137 @@ def test_knn_srp_no_candidates(ray_session):
     )
     assert list(out.columns) == ["query_id", "vec_id", "sim"]
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests for the round-5 additions
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+
+_doc_st = st.lists(
+    st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12)
+    .map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _brute_substr(texts, k, min_tokens):
+    """Serial ExactSubstr ground truth: spans + cut, tiny-vocab corpora."""
+    import re as _re
+    from collections import Counter
+
+    def toks(t):
+        return _re.findall(textops.WORD_RE, t.lower())
+
+    grams = Counter()
+    per = []
+    for t in texts:
+        w = toks(t)
+        g = [tuple(w[i : i + k]) for i in range(len(w) - k + 1)]
+        per.append((w, g))
+        grams.update(g)
+    spans, cuts = set(), {}
+    for d, (w, g) in enumerate(per):
+        dup = [i for i, x in enumerate(g) if grams[x] >= 2]
+        covered = set()
+        runs, s = [], None
+        for j, p in enumerate(dup):
+            if s is None:
+                s = p
+            if j + 1 == len(dup) or dup[j + 1] != p + 1:
+                runs.append((s, p + k - 1))
+                s = None
+        for a, b in runs:
+            if b - a + 1 >= min_tokens:
+                spans.add((d, a + 1, b + 1, b - a + 1))
+                covered.update(range(a, b + 1))
+        kept = [w[i] for i in range(len(w)) if i not in covered]
+        cuts[d] = (" ".join(kept), len(w) - len(kept))
+    return spans, cuts
+
+
+@_hyp
+@given(texts=_doc_st, k=st.integers(min_value=2, max_value=4))
+def test_exact_substr_property(ray_session, texts, k):
+    """Random tiny-vocab corpora: spans AND the cut match the serial brute
+    force for arbitrary k, overlap patterns, and doc lengths (incl. docs
+    shorter than k and all-duplicated docs)."""
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    ).repartition(3)
+    want_spans, want_cuts = _brute_substr(texts, k, k)
+    got_spans = set(
+        (int(r.doc_id), int(r.start_pos), int(r.end_pos), int(r.span_tokens))
+        for r in ddp.exact_substr_spans(ds, k=k).to_pandas().itertuples()
+    )
+    assert got_spans == want_spans
+    cut = ddp.exact_substr_dedup(ds, k=k).to_pandas().set_index("doc_id")
+    assert len(cut) == len(texts)
+    for d in range(len(texts)):
+        assert cut.loc[d, "text_dedup"] == want_cuts[d][0]
+        assert int(cut.loc[d, "n_removed"]) == want_cuts[d][1]
+
+
+_url_st = st.builds(
+    lambda scheme, www, host, port, segs, slashes, params, frag: (
+        scheme + "://" + www + host + port + "/" + "/".join(segs)
+        + "/" * slashes
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.sampled_from(["foo.com", "Foo.COM", "a-b.example.org"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(st.sampled_from(["A", "b", "c1"]), max_size=3),
+    slashes=st.integers(min_value=0, max_value=2),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["id", "X", "utm_source", "utm_x", "gclid",
+                             "fbclid", "ref"]),
+            st.sampled_from(["1", "ab", ""]),
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#f", "#a/b?c"]),
+)
+
+
+def _ref_canonical(u: str) -> str | None:
+    """Pure-Python reference of stages/urlops.py's rules 1-6."""
+    import re as _re
+
+    m = _re.match(
+        r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$", u
+    )
+    if not m:
+        return None
+    scheme, host, path, query, _ = (g or "" for g in m.groups())
+    host = _re.sub(r"^www\.", "", _re.sub(r":(80|443)$", "", host.lower()))
+    path = _re.sub(r"/+$", "", path)
+    q = _re.sub(r"^\?", "", query)
+    q = _re.sub(r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*&?", "", q)
+    q = _re.sub(r"^&+|&+$", "", q)
+    return scheme.lower() + "://" + host + path + ("?" + q if q else "")
+
+
+@settings(max_examples=50, deadline=None)
+@given(urls=st.lists(_url_st, min_size=1, max_size=20))
+def test_url_canonical_property(urls):
+    """Arbitrary grammar-generated URLs: the Arrow kernel matches the
+    pure-Python reference string for string (no Ray needed — the kernel is
+    a plain Arrow function)."""
+    from log_parser_ray.stages.urlops import canonical_url_array
+
+    got = canonical_url_array(pa.array(urls, pa.string())).to_pylist()
+    assert got == [_ref_canonical(u) for u in urls]
