@@ -1553,6 +1553,45 @@ def q_documents_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_documents_csv_roundtrip(sf_dir: str):
+    """CSV source roundtrip (the tabular interchange edge next to NDJSON):
+    export documents.parquet to mixed plain/.gz CSV shards (test fixture),
+    read them back with `ray.data.read_csv` under pinned column types with
+    parse-time column pruning (text is dropped AT THE PARSE), and
+    aggregate (lang, source) → count + Σ n_chars. Oracle = the same
+    aggregate over the parquet view: a hash match proves the CSV decode is
+    lossless for both compressions."""
+    import shutil
+    import tempfile
+
+    from log_parser_ray.sources.csvsrc import (
+        export_documents_csv,
+        read_documents_csv,
+    )
+    from log_parser_ray.stages.aggregate import grouped_stats
+
+    tmp = tempfile.mkdtemp(prefix="lpr_csv_")
+    try:
+        export_documents_csv(sf_dir, tmp)
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        ds = read_documents_csv(
+            tmp, schema=schema, columns=["lang", "source", "n_chars"]
+        )
+        out = grouped_stats(
+            ds, ["lang", "source"], "n_chars", count="n", sum_="total_chars"
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Cross-snapshot exact dedup (the crawl-refresh shape): even doc_ids
     play the prior corpus, odd doc_ids the new crawl. Keeps the new
@@ -1823,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substr_dedup": q_exact_substr_dedup,
         "mix_corpus": q_mix_corpus,
         "knn_srp": q_knn_srp,
+        "documents_csv_roundtrip": q_documents_csv_roundtrip,
     }
 
 
@@ -3124,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # the join-based decontamination variant computes the SAME result as the
     # broadcast one — one oracle serves both
+    d["documents_csv_roundtrip"] = d["documents_jsonl_roundtrip"]
     d["decontaminate_join"] = d["decontaminate"]
     # nprobe = n_clusters probes every IVF cell, so the ANN path is exact
     # and shares the brute-force kNN oracle
