@@ -31,6 +31,12 @@ def main(argv=None) -> int:
                      "shards: bulk-convert to Parquet under --out/parquet (the "
                      "once-at-the-edge step — JSON can't prune columns or "
                      "row-groups, so downstream pipelines read the parquet)")
+    src.add_argument("--csv-in", help="dir (or file) of CSV *.csv/*.csv.gz "
+                     "shards: bulk-convert to Parquet under --out/parquet "
+                     "(same once-at-the-edge step as --jsonl-in; use "
+                     "--csv-delimiter for TSV)")
+    ap.add_argument("--csv-delimiter", default=",",
+                    help="--csv-in: field delimiter (e.g. $'\\t' for TSV)")
     ap.add_argument("--file-pattern", default=None,
                     help="--raw-logs: substring filter on file names (date-rotation predicate)")
     ap.add_argument("--record-date", default=None, metavar="YYYY-MM-DD",
@@ -158,6 +164,18 @@ def main(argv=None) -> int:
         # otherwise accumulate next to stale ones)
         out_dir = fresh_dir(args.out.rstrip("/") + "/parquet")
         read_documents_jsonl(args.jsonl_in).write_parquet(out_dir)
+        n = ray.data.read_parquet(out_dir).count()
+        print(json.dumps({"rows": int(n), "out": out_dir}, sort_keys=True))
+        return 0
+
+    if args.csv_in:
+        from log_parser_ray.sources.csvsrc import read_documents_csv
+        from log_parser_ray.state.manifest import fresh_dir
+
+        out_dir = fresh_dir(args.out.rstrip("/") + "/parquet")
+        read_documents_csv(
+            args.csv_in, delimiter=args.csv_delimiter
+        ).write_parquet(out_dir)
         n = ray.data.read_parquet(out_dir).count()
         print(json.dumps({"rows": int(n), "out": out_dir}, sort_keys=True))
         return 0

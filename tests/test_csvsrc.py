@@ -113,3 +113,33 @@ def test_gz_shard_actually_compressed(tmp_path):
     with gzip.open(os.path.join(out, gz), "rt", encoding="utf-8") as f:
         header = f.readline()
     assert "doc_id" in header
+
+
+def test_cli_csv_to_parquet(ray_session, tmp_path, capsys):
+    """--csv-in bulk-converts CSV shards to parquet under --out; rerun
+    REPLACES the run-owned sink."""
+    import json
+
+    import ray.data
+
+    from log_parser_ray.__main__ import main
+
+    export_documents_csv(SF, str(tmp_path / "in"), shards=4)
+    assert main(["--csv-in", str(tmp_path / "in"),
+                 "--out", str(tmp_path / "out")]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = ray.data.read_parquet(f"{SF}/documents.parquet")
+    assert res["rows"] == want.count()
+    got = (
+        ray.data.read_parquet(res["out"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    wdf = want.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[wdf.columns.tolist()].equals(wdf)
+    assert main(["--csv-in", str(tmp_path / "in"),
+                 "--out", str(tmp_path / "out")]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["rows"] == res["rows"]
+    assert ray.data.read_parquet(res["out"]).count() == res["rows"]
